@@ -1,0 +1,83 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Transitive closure via alternating large-star / small-star iterations
+ * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+ * SoCC 2014) over plain DataFrames — no GraphX, no driver-side state
+ * (SURVEY.md §7.2 M6; north_rule "union-find transitive closure as
+ * iterative DataFrame joins with checkpointed convergence").
+ *
+ * Input: undirected edges (src, dst) as 64-bit ids. Output: (id, component)
+ * where component = the minimum id in the node's component — a total,
+ * deterministic labeling, identical at any parallelism level.
+ *
+ * Scale design: each round is two shuffles (groupBy min + join), O(log n)
+ * rounds to converge; `localCheckpoint` after every round truncates
+ * lineage so plan size stays constant. Convergence test is an exact
+ * anti-join count on the deduped edge set (one extra shuffle per round,
+ * amortized by the log-round bound).
+ */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two numeric columns (src, dst).
+    * @return DataFrame(id LONG, component LONG), one row per distinct node. */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val base = edges.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("lo"), greatest($"src", $"dst").as("hi"))
+      .distinct()
+    val nodes = base.select($"lo".as("id"))
+      .union(base.select($"hi".as("id"))).distinct()
+
+    // edge set invariant between rounds: canonical (hi > lo) pairs
+    var cur = base.select($"hi".as("u"), $"lo".as("v")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // --- large-star: connect strictly-larger neighbors to the min ------
+      // symmetrized adjacency
+      val adj = cur.select($"u", $"v")
+        .union(cur.select($"v".as("u"), $"u".as("v")))
+      val minNbr = adj.groupBy($"u")
+        .agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = adj.join(minNbr, "u")
+        .where($"v" > $"u")
+        .select($"v".as("a"), $"m".as("b"))
+        .where($"a" =!= $"b")
+        .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+        .distinct()
+
+      // --- small-star: connect smaller-or-equal neighbors + self to min --
+      // operate on edges oriented u > v (all of `large` already are)
+      val minSmall = large.groupBy($"u").agg(min($"v").as("m"))
+      val small = large.join(minSmall, "u")
+        .select(explode(array(
+            struct($"v".as("a"), $"m".as("b")),
+            struct($"u".as("a"), $"m".as("b")))).as("e"))
+        .select($"e.a".as("a"), $"e.b".as("b"))
+        .where($"a" =!= $"b")
+        .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+        .distinct()
+        .localCheckpoint()
+
+      val changed = small.join(cur, Seq("u", "v"), "left_anti").count() +
+        cur.join(small, Seq("u", "v"), "left_anti").count()
+      converged = changed == 0
+      cur = small
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+
+    // After convergence the graph is a union of stars rooted at component
+    // minima: every edge is (member, root).
+    val assign = cur.select($"u".as("id"), $"v".as("component"))
+    nodes.join(assign, Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("component"))
+  }
+}

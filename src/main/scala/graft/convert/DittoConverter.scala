@@ -1,0 +1,112 @@
+package graft.convert
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.functions.GraftFunctions
+
+/**
+ * Ditto COL/VAL pair file → DeepMatcher wide CSV converter — the
+ * reference's converter lifecycle (SURVEY.md §3.1;
+ * /root/reference/Converters/computers/{computer,dcm,iTuens,walmart}.py)
+ * as two Spark jobs over a cached parsed frame:
+ *
+ *   read.text → blank-line filter (P3) → tab split + 3-part filter (P1)
+ *   → COL/VAL parse (F1/F2) → [job 1] field-name union (C1, A1)
+ *   → [job 2] label coercion filter (P2) → ordered wide projection (C2)
+ *   → sequential id (O1) → sink
+ *
+ * Row ids reproduce the reference's input-order sequence exactly:
+ * `monotonically_increasing_id` is ordered by (partition, offset) which for
+ * a single text file follows byte order; the row_number window makes the
+ * ids dense. The one global window is converter-scale-appropriate (these
+ * files are small); for 100 TB inputs use zipWithIndex-style per-partition
+ * offsets instead.
+ */
+object DittoConverter {
+
+  final case class Config(
+      robust: Boolean = true, // dcm/walmart parser; false = iTuens strict
+      preferredOrder: Seq[String] = Nil,
+      normalizeYear: Boolean = false) // dcm.py:93-97
+
+  def convertLines(spark: SparkSession, lines: DataFrame, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val parseUdf =
+      if (cfg.robust) GraftFunctions.parseColValRobust
+      else GraftFunctions.parseColValStrict
+
+    // P3 + P1: blank filter, tolerant tab split, exactly 3 parts
+    val split0 = lines
+      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("line", GraftFunctions.pyTrim($"value"))
+      .where(length($"line") > 0)
+      .withColumn("parts",
+        if (cfg.robust) split($"line", "\t+") else split($"line", "\t", -1))
+      .where(size($"parts") === 3)
+
+    // P2: label coercion — Python int() accepts optional sign + digits
+    val labeled = split0
+      .withColumn("label_raw", GraftFunctions.pyTrim(element_at($"parts", 3)))
+      .where($"label_raw".rlike("^[-+]?[0-9]+$"))
+      .withColumn("label", $"label_raw".cast(IntegerType))
+      .withColumn("left_map", parseUdf(element_at($"parts", 1)))
+      .withColumn("right_map", parseUdf(element_at($"parts", 2)))
+      .cache()
+
+    // C1/A1: two-pass schema inference — union of keys from both sides
+    val fields = labeled
+      .select(explode(concat(map_keys($"left_map"), map_keys($"right_map"))).as("k"))
+      .distinct().as[String].collect().toSeq
+
+    // C2: preferred fields first, rest sorted
+    val ordered =
+      cfg.preferredOrder.filter(fields.contains) ++
+        fields.filterNot(cfg.preferredOrder.contains).sorted
+
+    // O1: dense sequential id in input order
+    val w = Window.orderBy($"_ord")
+    val withId = labeled.withColumn("id", row_number().over(w) - 1)
+
+    val sideCols = ordered.flatMap { f =>
+      def side(m: String, pfx: String) = {
+        val raw = coalesce(element_at(col(m), f), lit(""))
+        val v = if (cfg.normalizeYear && f == "year")
+          GraftFunctions.yearExtract(raw) else raw
+        v.as(s"$pfx$f")
+      }
+      Seq(side("left_map", "left_"), side("right_map", "right_"))
+    }
+    withId.select((col("id") +: col("label") +: sideCols): _*)
+  }
+
+  def convertFile(spark: SparkSession, path: String, cfg: Config): DataFrame =
+    convertLines(spark, spark.read.text(path), cfg)
+
+  /** Sink with QUOTE_NONNUMERIC-equivalent quoting (computer.py:40):
+    * all string columns quoted, numeric columns bare. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", true).option("quoteAll", true)
+      .csv(path)
+
+  /** Byte-exact QUOTE_NONNUMERIC parity writer (pandas to_csv semantics:
+    * unquoted header, unquoted numeric cells, quoted strings with `"`
+    * doubled). Emits the file as ordered text lines. */
+  def referenceCsvLines(df: DataFrame): DataFrame = {
+    val numeric = Set("id", "label")
+    val cols = df.columns
+    def cell(name: String) =
+      if (numeric(name)) col(name).cast(StringType)
+      else concat(lit("\""), regexp_replace(col(name), "\"", "\"\""), lit("\""))
+    val body = df.select(col("id").cast(LongType).as("_k"),
+      concat_ws(",", cols.map(cell): _*).as("value"))
+    val header = df.sparkSession.range(1).select(
+      lit(-1L).as("_k"), lit(cols.mkString(",")).as("value"))
+    header.unionByName(body).orderBy("_k").select("value")
+  }
+
+  def writeReferenceCsv(df: DataFrame, path: String): Unit =
+    referenceCsvLines(df).coalesce(1).write.mode("overwrite").text(path)
+}

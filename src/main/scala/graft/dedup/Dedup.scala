@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.block.Blocking
+import graft.functions.GraftFunctions
+import graft.score.Similarity
+
+/**
+ * Deduplication operators for a web-scale training-data pipeline:
+ * exact (hash groupBy), MinHash-LSH near-dup, SimHash, n-gram Jaccard,
+ * embedding-cosine near-dup (see graft.ann.Ann for the LSH-bucketed
+ * variant). All shuffle on hashes/ids, never on document bodies.
+ */
+object Dedup {
+
+  /** Exact dedup groups: md5(text) → copies + canonical keeper (min id).
+    * One shuffle on the 128-bit content hash; map-side partial agg. */
+  def exactGroups(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.groupBy(md5(textCol.cast(BinaryType)).as("h")).agg(
+      count(lit(1)).as("n_copies"),
+      min(idCol).as("keeper"))
+
+  /** Rows to KEEP after exact dedup (the min-id representative per hash). */
+  def exactKeepers(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.withColumn("_h", md5(textCol.cast(BinaryType)))
+      .withColumn("_keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_h")).orderBy(idCol)) === 1)
+      .where(col("_keep")).drop("_h", "_keep")
+
+  /** 3-gram character shingles of the normalized text. */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    GraftFunctions.charShingles(textCol, n)
+
+  /** MinHash-LSH near-duplicate candidate pairs, verified by exact
+    * n-gram Jaccard >= `jaccardFloor`.
+    *
+    * shingle → minhash (bands*rows fns) → band bucket → in-bucket join →
+    * pair dedup → verify. The verify step recomputes shingles on both
+    * sides — at scale attach precomputed shingle arrays to the pair to
+    * trade shuffle width for CPU (done here). */
+  def minhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      bands: Int, rowsPerBand: Int, jaccardFloor: Double): DataFrame = {
+    val base = docs.select(idCol.as("id"),
+      shingles(textCol).as("sh"))
+    val blocked = Blocking.minhashBlocks(
+      base.withColumn("tokens", col("sh")), col("tokens"),
+      bands, rowsPerBand)
+    val pairs = Blocking.candidatePairs(blocked, "block_key", "id", Seq("sh"))
+    pairs.select(col("l_id"), col("r_id"),
+        Similarity.jaccard(col("l_sh"), col("r_sh")).as("jaccard"))
+      .where(col("jaccard") >= jaccardFloor)
+  }
+
+  /** 64-bit SimHash over word tokens (JVM function; still a narrow map). */
+  val simhashUdf = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) 0L
+    else {
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        // xxhash-free deterministic 64-bit string hash (FNV-1a 64)
+        var h = -3750763034362895579L // FNV offset basis
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 1099511628211L; i += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  def simhash64(textCol: Column): Column =
+    simhashUdf(GraftFunctions.tokens(textCol))
+
+  /** Near-dup pairs by SimHash hamming distance <= maxHamming, blocked on
+    * 4 x 16-bit bands (any near pair within hamming<=3 shares >=1 band). */
+  def simhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val base = docs.select(idCol.as("id"), simhash64(textCol).as("sh"))
+    val banded = base.withColumn("band", explode(array((0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }: _*)))
+    val l = banded.select(col("band"), col("id").as("l_id"), col("sh").as("l_sh"))
+    val r = banded.select(col("band"), col("id").as("r_id"), col("sh").as("r_sh"))
+    l.join(r, Seq("band")).where(col("l_id") < col("r_id"))
+      .dropDuplicates("l_id", "r_id")
+      .withColumn("hamming", bit_count(col("l_sh").bitwiseXOR(col("r_sh"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("l_id"), col("r_id"), col("hamming"))
+  }
+
+  /** n-gram Jaccard all-pairs above floor within LSH blocks (convenience
+    * wrapper with tighter LSH so recall targets high-sim pairs only). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      floor: Double = 0.8): DataFrame =
+    minhashPairs(docs, idCol, textCol, bands = 8, rowsPerBand = 4, floor)
+}

@@ -1,0 +1,60 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Pairwise evaluation (SURVEY.md §2.7 A2, §3.3): confusion counts and
+ * P/R/F1 from (gold, pred) pair labels — the same computation that the
+ * reference's committed eval logs encode in their `result` column
+ * (/root/reference/datamodel/test11updaetmore.tsv:1).
+ */
+object Metrics {
+
+  /** TP/FP/TN/FN classification of one (gold, pred) pair. */
+  def resultClass(gold: Column, pred: Column): Column =
+    when(gold === 1 && pred === 1, "TP")
+      .when(gold === 0 && pred === 1, "FP")
+      .when(gold === 1 && pred === 0, "FN")
+      .otherwise("TN")
+
+  /** One-row DataFrame: tp, fp, fn, tn, precision, recall, f1.
+    * Single partial-aggregable pass (map-side combine; one shuffle of 4
+    * longs — scale-free). */
+  def prf1(pairs: DataFrame, goldCol: String = "gold",
+      predCol: String = "pred"): DataFrame = {
+    val g = col(goldCol); val p = col(predCol)
+    pairs.agg(
+      sum(when(g === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(g === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(g === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(g === 0 && p === 0, 1L).otherwise(0L)).as("tn"))
+    .withColumn("precision",
+      when(col("tp") + col("fp") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fp"))))
+    .withColumn("recall",
+      when(col("tp") + col("fn") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fn"))))
+    .withColumn("f1",
+      when(col("precision") + col("recall") === 0.0, 0.0)
+        .otherwise(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
+  }
+
+  /** Pairwise metrics of a clustering against labeled pairs: pred = 1 iff
+    * both sides landed in the same cluster.
+    * @param labels   (left_id, right_id, label)
+    * @param clusters (id, component) */
+  def clusteringPrf1(labels: DataFrame, clusters: DataFrame): DataFrame = {
+    val cl = clusters.select(col("id"), col("component"))
+    val joined = labels
+      .join(cl.withColumnRenamed("id", "left_id")
+        .withColumnRenamed("component", "l_comp"), Seq("left_id"), "left")
+      .join(cl.withColumnRenamed("id", "right_id")
+        .withColumnRenamed("component", "r_comp"), Seq("right_id"), "left")
+      .withColumn("pred",
+        when(col("l_comp").isNotNull && col("l_comp") === col("r_comp"), 1)
+          .otherwise(0))
+    prf1(joined.withColumnRenamed("label", "gold"))
+  }
+}
