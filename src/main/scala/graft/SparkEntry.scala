@@ -142,7 +142,7 @@ object SparkEntry {
     }),
     "doc_minhash_neardup" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Dedup.minhashPairs(t(dir, "documents"), $"doc_id", $"text",
-        bands = 16, rowsPerBand = 2, jaccardFloor = 0.5)
+        bands = 8, rowsPerBand = 4, jaccardFloor = 0.7)
     }),
     "doc_simhash" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       t(dir, "documents").select($"doc_id",
@@ -167,6 +167,34 @@ object SparkEntry {
     "er_f1" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       val (cl, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))
       ERPipeline.evaluate(cl, PageGen.labeledPairs(s, 400, seed = 7L))
+    }),
+    "convert_ditto" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // Ditto COL/VAL lines synthesized from the page corpus → wide pairs
+      val pairs = PageGen.labeledPairs(s, 200, seed = 5L).limit(500)
+      val pages = PageGen.pagesWithTruth(s, 200, seed = 5L)
+        .select($"url", $"text")
+      val lines = pairs
+        .join(pages.toDF("left_url", "l_text"), Seq("left_url"))
+        .join(pages.toDF("right_url", "r_text"), Seq("right_url"))
+        .select(concat_ws("\t", $"l_text", $"r_text",
+          $"label".cast(StringType)).as("value"))
+      graft.convert.DittoConverter.convertLines(s, lines,
+        graft.convert.DittoConverter.Config(robust = true,
+          preferredOrder = Seq("title", "brand")))
+    }),
+    "enrich_titles" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // enrichment operator (M1): deterministic per-field rule chains
+      val pairs = PageGen.labeledPairs(s, 200, seed = 5L).limit(500)
+      val pages = PageGen.pagesWithTruth(s, 200, seed = 5L)
+        .select($"url",
+          GraftFunctions.extractTitleUdf($"text").as("title"))
+      val wide = pairs
+        .join(pages.toDF("left_url", "left_title"), Seq("left_url"))
+        .join(pages.toDF("right_url", "right_title"), Seq("right_url"))
+        .withColumn("id", row_number().over(
+          Window.orderBy($"left_url", $"right_url")) - 1)
+        .select($"id", $"label", $"left_title", $"right_title")
+      graft.norm.Enrichment.enrich(wide, graft.norm.Enrichment.wdcTitle)
     }),
     "er_similarity" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // similarity measures over part names (testdata-backed, deterministic)

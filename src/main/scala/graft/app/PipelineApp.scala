@@ -1,0 +1,83 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.PageGen
+import graft.pipeline.ERPipeline
+import graft.io.Snapshots
+
+/**
+ * spark-submit entry point for the full ER pipeline with snapshot/resume
+ * semantics (north_rule: "resumable from checkpoint with per-partition
+ * lineage + metrics ... launched by spark-submit").
+ *
+ *   spark-submit --class graft.app.PipelineApp <jar> \
+ *     <workRoot> [nEntities] [seed] [--input <pagesParquet>]
+ *
+ * Stages (each a named snapshot; a rerun resumes after the last complete
+ * one — delete <workRoot>/_snapshots/<stage>.json to force re-run):
+ *   pages → extracted → blocked → scored → clusters → metrics
+ */
+object PipelineApp {
+
+  def main(args: Array[String]): Unit = {
+    val workRoot = args.headOption.getOrElse("/tmp/graft-pipeline")
+    val nEntities = args.lift(1).map(_.toLong).getOrElse(1000L)
+    val seed = args.lift(2).map(_.toLong).getOrElse(42L)
+    val inputPath = args.sliding(2).collectFirst {
+      case Array("--input", p) => p }
+
+    val spark = SparkSession.builder()
+      .appName("graft-er-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(s"$workRoot/_spark_ckpt")
+
+    run(spark, workRoot, nEntities, seed, inputPath)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, workRoot: String, nEntities: Long, seed: Long,
+      inputPath: Option[String], cfg: ERPipeline.Config = ERPipeline.Config())
+      : DataFrame = {
+    val pages = Snapshots.getOrCompute(spark, workRoot, "pages") {
+      inputPath.map(spark.read.parquet(_))
+        .getOrElse(PageGen.pages(spark, nEntities, seed))
+    }
+    Snapshots.writeLineage(spark, pages, workRoot, "pages")
+
+    val extracted = Snapshots.getOrCompute(spark, workRoot, "extracted") {
+      ERPipeline.extract(pages)
+    }
+    Snapshots.writeLineage(spark, extracted, workRoot, "extracted")
+
+    val blocked = Snapshots.getOrCompute(spark, workRoot, "blocked") {
+      ERPipeline.block(extracted, cfg)
+    }
+
+    val scored = Snapshots.getOrCompute(spark, workRoot, "scored") {
+      val (sc, drops) = ERPipeline.scorePairs(extracted, blocked, cfg)
+      Snapshots.commit(spark, drops, workRoot, "cap_drops")
+      sc
+    }
+    Snapshots.writeLineage(spark, scored, workRoot, "scored")
+
+    val clusters = Snapshots.getOrCompute(spark, workRoot, "clusters") {
+      val comps = ERPipeline.cluster(spark, scored, cfg)
+      extracted.select(col("url"), col("id"))
+        .join(comps, Seq("id"), "left")
+        .select(col("url"), col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+    }
+
+    val metrics = Snapshots.getOrCompute(spark, workRoot, "metrics") {
+      val labels = PageGen.labeledPairs(spark, nEntities, seed)
+      ERPipeline.evaluate(clusters, labels)
+    }
+    metrics.show(truncate = false)
+    clusters
+  }
+}

@@ -25,31 +25,62 @@ object Blocking {
     regexp_replace(host, "^www\\.", "")
   }
 
-  /** MinHash signature: array of `k` min-hashes over a token array. */
-  def minHash(tokens: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(tokens, t => xxhash64(concat(lit(s"mh${i}_"), t))))
-    }: _*)
-
-  /** LSH band keys: `bands` keys, each hashing `rowsPerBand` consecutive
-    * minhashes together with the band index. Null when tokens is empty. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      val slices = (0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1).cast(StringType))
-      xxhash64(concat_ws("|", (lit(s"band$b") +: slices): _*))
-    }: _*)
-
-  /** One row per (blockKey, id...) from token minhashes; `idCols` are
-    * carried through. Rows with no tokens produce no keys. */
-  def minhashBlocks(df: DataFrame, tokensCol: Column, bands: Int,
-      rowsPerBand: Int, keyName: String = "block_key"): DataFrame = {
-    val sig = minHash(tokensCol, bands * rowsPerBand)
-    df.withColumn("_sig", sig)
-      .withColumn(keyName, explode(lshBandKeys(col("_sig"), bands, rowsPerBand)))
-      .drop("_sig")
-      .where(col(keyName).isNotNull)
+  /** splitmix64 finalizer — deterministic 64-bit mixing. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
   }
+
+  /** FNV-1a 64 over UTF-16 code units. */
+  @inline private def hashStr(s: String): Long = {
+    var h = -3750763034362895579L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 1099511628211L; i += 1 }
+    h
+  }
+
+  /** MinHash band keys as ONE compact JVM function per row.
+    *
+    * An equivalent pure-expression formulation (k × `transform`+
+    * `array_min` lambdas) plans/compiles a Catalyst tree so large that
+    * driver-side optimization+codegen became the pipeline's serial
+    * bottleneck (~20s per query at bands*rows=64). The UDF costs the
+    * codegen boundary but keeps the plan O(1); per-row work is
+    * tokens×k cheap integer mixes. Hash family: h_i(t) = mix64(fnv(t) ^
+    * mix64(i)) — deterministic across JVMs/parallelism. */
+  def bandKeysUdf(bands: Int, rowsPerBand: Int) = udf { (tokens: Seq[String]) =>
+    if (tokens == null || tokens.isEmpty) Array.empty[Long]
+    else {
+      val k = bands * rowsPerBand
+      val mins = Array.fill(k)(Long.MaxValue)
+      tokens.foreach { t =>
+        val h0 = hashStr(t)
+        var i = 0
+        while (i < k) {
+          val h = mix64(h0 ^ mix64(i.toLong))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = mix64(0xB10C0000L + b)
+        var r = 0
+        while (r < rowsPerBand) { acc = mix64(acc ^ mins(b * rowsPerBand + r)); r += 1 }
+        keys(b) = acc
+        b += 1
+      }
+      keys
+    }
+  }
+
+  /** One row per (blockKey, id...); rows with no tokens produce no keys. */
+  def minhashBlocks(df: DataFrame, tokensCol: Column, bands: Int,
+      rowsPerBand: Int, keyName: String = "block_key"): DataFrame =
+    df.withColumn(keyName, explode(bandKeysUdf(bands, rowsPerBand)(tokensCol)))
 
   /** Salt a hot key into `salts` sub-keys, deterministically by row id.
     * Use for block families where one key dominates (e.g. a mega-host):
@@ -71,6 +102,35 @@ object Blocking {
       .where(col("n_total") > cap)
       .withColumn("n_dropped", col("n_total") - cap)
     (kept, drops)
+  }
+
+  /** Exact set fingerprint of a token array (order-insensitive): the
+    * cheap key family that guarantees recall for records whose normalized
+    * token sets are identical, independent of LSH geometry. */
+  def tokenFingerprint(tokens: Column): Column =
+    xxhash64(concat_ws("", array_sort(tokens)))
+
+  /** Split blocks larger than `cap` into ceil(n/cap) sub-blocks keyed by
+    * `groupCol` (e.g. the token fingerprint). Rows with equal `groupCol`
+    * land in the same sub-block, so exact-duplicate recall is preserved;
+    * only cross-group pairs inside an oversized block get sampled. This
+    * bounds per-block pair cost at ~cap² without silent row drops —
+    * returns (rekeyed, splitStats(block_key, n_total, n_subblocks)). */
+  def splitOversizedBlocks(df: DataFrame, keyCol: String, groupCol: String,
+      cap: Int): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(keyCol))
+    val sized = df.withColumn("_bn", count(lit(1)).over(w))
+    val rekeyed = sized
+      .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
+      .withColumn(keyCol,
+        when(col("_k") <= 1, col(keyCol))
+          .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
+      .drop("_bn", "_k")
+    val stats = sized.where(col("_bn") > cap)
+      .groupBy(col(keyCol)).agg(
+        max(col("_bn")).as("n_total"),
+        ceil(max(col("_bn")).cast("double") / cap).cast("long").as("n_subblocks"))
+    (rekeyed, stats)
   }
 
   /** Candidate pairs from a blocked table: self-join within block key with

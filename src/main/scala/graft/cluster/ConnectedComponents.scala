@@ -2,6 +2,7 @@ package graft.cluster
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Transitive closure via alternating large-star / small-star iterations
@@ -16,9 +17,10 @@ import org.apache.spark.sql.functions._
  *
  * Scale design: each round is two shuffles (groupBy min + join), O(log n)
  * rounds to converge; `localCheckpoint` after every round truncates
- * lineage so plan size stays constant. Convergence test is an exact
- * anti-join count on the deduped edge set (one extra shuffle per round,
- * amortized by the log-round bound).
+ * lineage so plan size stays constant. Convergence is detected by an
+ * order-independent checksum (count + exact decimal sum of pair hashes)
+ * of the deduped edge set — two tiny aggregates per round instead of
+ * anti-join shuffles.
  */
 object ConnectedComponents {
 
@@ -36,6 +38,14 @@ object ConnectedComponents {
 
     // edge set invariant between rounds: canonical (hi > lo) pairs
     var cur = base.select($"hi".as("u"), $"lo".as("v")).localCheckpoint()
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // order-independent, exact (decimal keeps ANSI mode overflow-free)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64($"u", $"v").cast(DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var curSum = checksum(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -66,9 +76,12 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
 
-      val changed = small.join(cur, Seq("u", "v"), "left_anti").count() +
-        cur.join(small, Seq("u", "v"), "left_anti").count()
-      converged = changed == 0
+      // convergence test: checksum of the new edge set vs the previous
+      // round's (a collision would need equal count AND equal exact sum
+      // of 64-bit pair hashes). One aggregate job per round.
+      val smallSum = checksum(small)
+      converged = smallSum == curSum
+      curSum = smallSum
       cur = small
       iter += 1
     }

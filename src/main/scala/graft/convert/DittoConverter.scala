@@ -84,6 +84,37 @@ object DittoConverter {
   def convertFile(spark: SparkSession, path: String, cfg: Config): DataFrame =
     convertLines(spark, spark.read.text(path), cfg)
 
+  /** computer.py:6-40 variant: title-only projection with the reference's
+    * exact output header (id, label, title_left, title_right — note the
+    * suffix order differs from the dcm-style left_/right_ prefixes) and
+    * its looser line filter (>= 3 tab parts, extras ignored). */
+  def convertTitleOnly(spark: SparkSession, lines: DataFrame): DataFrame = {
+    import spark.implicits._
+    lines
+      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("line", GraftFunctions.pyTrim($"value"))
+      .withColumn("parts", split($"line", "\t", -1))
+      .where(size($"parts") >= 3)
+      .withColumn("label_raw", GraftFunctions.pyTrim(element_at($"parts", 3)))
+      .where($"label_raw".rlike("^[-+]?[0-9]+$"))
+      .withColumn("id", row_number().over(Window.orderBy($"_ord")) - 1)
+      .select($"id", $"label_raw".cast(IntegerType).as("label"),
+        GraftFunctions.extractTitleUdf(element_at($"parts", 1)).as("title_left"),
+        GraftFunctions.extractTitleUdf(element_at($"parts", 2)).as("title_right"))
+  }
+
+  /** S5: fixed train/valid/test split-set iteration, skipping missing
+    * files (Amazon/prompt.py:250-257 main() shape). */
+  def convertSplits(spark: SparkSession, dir: String, cfg: Config,
+      splits: Seq[String] = Seq("train", "valid", "test"))
+      : Map[String, DataFrame] =
+    splits.flatMap { s =>
+      val p = s"$dir/$s.txt"
+      if (new java.io.File(p).exists())
+        Some(s -> convertLines(spark, spark.read.text(p), cfg))
+      else None
+    }.toMap
+
   /** Sink with QUOTE_NONNUMERIC-equivalent quoting (computer.py:40):
     * all string columns quoted, numeric columns bare. */
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -30,25 +30,42 @@ object Dedup {
           .partitionBy(col("_h")).orderBy(idCol)) === 1)
       .where(col("_keep")).drop("_h", "_keep")
 
-  /** 3-gram character shingles of the normalized text. */
+  /** 3-gram character shingles of the normalized text (short strings —
+    * titles, names). For document bodies prefer `wordShingles`: char
+    * n-grams of natural text are shared by nearly all documents, which
+    * collapses LSH into a handful of giant blocks (quadratic pair blowup
+    * — measured 700s vs 8s at sf0.01). */
   def shingles(textCol: Column, n: Int = 3): Column =
     GraftFunctions.charShingles(textCol, n)
 
+  /** Broder-style w-shingling: distinct word n-grams of the lowercased
+    * text. Discriminative at document scale; pure built-ins. */
+  def wordShingles(textCol: Column, w: Int = 3): Column = {
+    val toks = GraftFunctions.tokens(textCol)
+    val count = greatest(size(toks) - lit(w - 1), lit(0))
+    array_distinct(transform(sequence(lit(1), count), i =>
+      concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs, verified by exact
-    * n-gram Jaccard >= `jaccardFloor`.
+    * w-shingle Jaccard >= `jaccardFloor`.
     *
-    * shingle → minhash (bands*rows fns) → band bucket → in-bucket join →
-    * pair dedup → verify. The verify step recomputes shingles on both
-    * sides — at scale attach precomputed shingle arrays to the pair to
-    * trade shuffle width for CPU (done here). */
+    * shingle → minhash (bands*rows fns) → band bucket → capped in-bucket
+    * join → pair dedup → verify. Blocks are hard-capped at `blockCap`
+    * rows (drops are a recall bound for degenerate corpora, e.g. all-
+    * identical documents; size the cap to the expected duplicate-cluster
+    * size). The verify step reuses the shingle arrays carried through
+    * the join — CPU for shuffle width. */
   def minhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
-      bands: Int, rowsPerBand: Int, jaccardFloor: Double): DataFrame = {
+      bands: Int, rowsPerBand: Int, jaccardFloor: Double,
+      blockCap: Int = 500): DataFrame = {
     val base = docs.select(idCol.as("id"),
-      shingles(textCol).as("sh"))
+      wordShingles(textCol).as("sh"))
     val blocked = Blocking.minhashBlocks(
       base.withColumn("tokens", col("sh")), col("tokens"),
       bands, rowsPerBand)
-    val pairs = Blocking.candidatePairs(blocked, "block_key", "id", Seq("sh"))
+    val (capped, _) = Blocking.capBlocks(blocked, "block_key", "id", blockCap)
+    val pairs = Blocking.candidatePairs(capped, "block_key", "id", Seq("sh"))
     pairs.select(col("l_id"), col("r_id"),
         Similarity.jaccard(col("l_sh"), col("r_sh")).as("jaccard"))
       .where(col("jaccard") >= jaccardFloor)

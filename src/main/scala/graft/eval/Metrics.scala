@@ -41,6 +41,20 @@ object Metrics {
           (col("precision") + col("recall"))))
   }
 
+  /** S6: eval-log sink/scan in the reference's TSV format
+    * (gold, pred, result, probability, text_left, text_right —
+    * /root/reference/datamodel/test11updaetmore.tsv:1). */
+  def writeEvalLog(df: DataFrame, path: String): Unit =
+    df.select(col("gold"), col("pred"),
+        resultClass(col("gold"), col("pred")).as("result"),
+        col("probability"), col("text_left"), col("text_right"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", true).option("sep", "\t").csv(path)
+
+  def readEvalLog(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).option("sep", "\t")
+      .option("inferSchema", true).csv(path)
+
   /** Pairwise metrics of a clustering against labeled pairs: pred = 1 iff
     * both sides landed in the same cluster.
     * @param labels   (left_id, right_id, label)

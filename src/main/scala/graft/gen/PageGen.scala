@@ -54,8 +54,13 @@ object PageGen {
           (pmod(h(seed, $"entity_id", lit("m")), lit(9000L)) + 1000).cast(StringType),
           pick(Seq("X", "T", "G", "U", "P"), h(seed, $"entity_id", lit("l")))))
       .withColumn("size_in", pick(sizes, h(seed, $"entity_id", lit("z"))))
+      .withColumn("ram", pick(Seq("8GB", "16GB", "32GB", "64GB", "4GB", "12GB"),
+        h(seed, $"entity_id", lit("r"))))
+      .withColumn("cpu", pick(Seq("i5-8250U", "i7-9750H", "i3-1005G1",
+        "Ryzen5-3500U", "Ryzen7-4800H", "i9-13900H", "i7-1165G7",
+        "Celeron-N4020"), h(seed, $"entity_id", lit("c"))))
       .withColumn("title0",
-        concat_ws(" ", $"brand", $"series", $"modelno",
+        concat_ws(" ", $"brand", $"series", $"modelno", $"cpu", $"ram",
           concat($"size_in", lit(" inch")), lit("Laptop")))
       .withColumn("n_pages", (pmod(h(seed, $"entity_id", lit("n")), lit(3L)) + 2)
         .cast(IntegerType))

@@ -46,9 +46,9 @@ object Normalize {
     "\\bSvr\\b" -> "Server", "\\bUpg\\b" -> "Upgrade",
     "\\bS/W\\b" -> "Software", "\\bWin\\b" -> "Windows",
     "\\bPropack\\b" -> "Pro Pack", "\\bAV\\b" -> "Anti-Virus",
-    "\\bCo\\.\\s" -> "Company ", "\\bSt\\.\\s" -> "Street ",
-    "\\bAve\\.\\s" -> "Avenue ", "\\bRd\\.\\s" -> "Road ",
-    "\\bBlvd\\.\\s" -> "Boulevard ")
+    "\\bCo\\.(?=\\s|$)" -> "Company", "\\bSt\\.(?=\\s|$)" -> "Street",
+    "\\bAve\\.(?=\\s|$)" -> "Avenue", "\\bRd\\.(?=\\s|$)" -> "Road",
+    "\\bBlvd\\.(?=\\s|$)" -> "Boulevard")
 
   def expandAbbreviations(c: Column): Column =
     abbreviations.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }

@@ -32,10 +32,24 @@ import graft.score.Similarity
  */
 object ERPipeline {
 
+  // Band geometry: same-entity pages have identical normalized token sets
+  // (sig collision P=1 in every band), so recall stays 1.0 while 6-row
+  // bands suppress near-miss cross-entity collisions (P = j^6 per band —
+  // j=0.75 token overlap → 0.18) that otherwise quadratically inflate
+  // blocks on low-entropy corpora.
   final case class Config(
       minhashBands: Int = 8,
-      minhashRows: Int = 4,
-      pairCapPerBlock: Int = 1000,
+      minhashRows: Int = 8,
+      /** Tokens present in more than this fraction of pages are excluded
+        * from the LSH token set (never from scoring): ubiquitous tokens
+        * ("laptop", "inch") raise the background Jaccard j_bg of random
+        * pairs, and LSH contamination grows as n²·bands·j_bg^rows —
+        * measured 31M candidate pairs for 180k pages without this. The
+        * high-DF set is tiny by construction (≤ 1/maxDf tokens), so the
+        * driver-side collect is bounded at any corpus size. */
+      maxTokenDf: Double = 0.25,
+      pairCapPerBlock: Int = 256,
+      payloadBroadcastMaxRows: Long = 2_000_000L,
       scoreThreshold: Double = 0.90,
       useDomainKeys: Boolean = false, // domain blocks = vendor sites here:
                                       // same entity spans hosts, so LSH is
@@ -53,24 +67,68 @@ object ERPipeline {
       .withColumn("norm_title", Normalize.canonicalTitle(col("canonical_text")))
       .withColumn("tokens", GraftFunctions.tokens(col("norm_title")))
       .withColumn("model_tokens", Normalize.modelTokens(col("norm_title")))
+      .withColumn("token_fp", Blocking.tokenFingerprint(col("tokens")))
 
-  /** Stage 2: blocking keys — one row per (block_key, page). */
-  def block(extracted: DataFrame, cfg: Config): DataFrame = {
+  /** Stage 2: blocking keys — one row per (block_key, page). Two key
+    * families: the exact token-set fingerprint (recall = 1.0 for records
+    * that normalize identically, immune to LSH geometry) plus MinHash-LSH
+    * bands for fuzzy matches; optional normalized-domain family. */
+  def block(extracted: DataFrame, cfg: Config,
+      nRows: Option[Long] = None): DataFrame = {
+    // High-DF token stoplist (two scale-free jobs: agg + tiny collect).
+    val n = nRows.getOrElse(extracted.count())
+    val maxDf = math.max(1L, (n * cfg.maxTokenDf).toLong)
+    val stop = extracted
+      .select(explode(array_distinct(col("tokens"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select("t").collect().map(_.getString(0)).sorted
+    val lshTokens =
+      if (stop.isEmpty) col("tokens")
+      else array_except(col("tokens"), array(stop.map(lit): _*))
     val lsh = Blocking.minhashBlocks(
-      extracted, col("tokens"), cfg.minhashBands, cfg.minhashRows)
-    val withDomain =
-      if (!cfg.useDomainKeys) lsh
-      else lsh.unionByName(extracted.withColumn("block_key",
-        xxhash64(Blocking.normalizedDomain(col("url")))))
-    withDomain
+      extracted.withColumn("lsh_tokens", lshTokens), col("lsh_tokens"),
+      cfg.minhashBands, cfg.minhashRows).drop("lsh_tokens")
+    val fp = extracted.withColumn("block_key", col("token_fp"))
+      .select(lsh.columns.map(col): _*)
+    val base = lsh.unionByName(fp)
+    if (!cfg.useDomainKeys) base
+    else base.unionByName(extracted.withColumn("block_key",
+      xxhash64(Blocking.normalizedDomain(col("url"))))
+      .select(lsh.columns.map(col): _*))
   }
 
-  /** Stage 3+4: candidate pairs + scores. Returns scored pairs. */
-  def scorePairs(blocked: DataFrame, cfg: Config): (DataFrame, DataFrame) = {
-    val (capped, drops) = Blocking.capBlocks(blocked, "block_key", "id",
-      cfg.pairCapPerBlock)
-    val pairs = Blocking.candidatePairs(capped, "block_key", "id",
-      Seq("url", "norm_title", "tokens", "model_tokens"))
+  /** Stage 3+4: candidate pairs + scores. Returns scored pairs plus the
+    * oversized-block split stats (never silent).
+    *
+    * Shuffle discipline: the block self-join and pair dedup run on SLIM
+    * rows (block_key, id, token_fp — 24 bytes), then payloads (titles,
+    * token arrays) are attached by two id-joins against `extracted`.
+    * Carrying payloads through the join+dedup would shuffle ~30× more
+    * bytes (measured the difference at 180k pages). */
+  def scorePairs(extracted: DataFrame, blocked: DataFrame, cfg: Config,
+      nRows: Option[Long] = None): (DataFrame, DataFrame) = {
+    val slim = blocked.select(col("block_key"), col("id"), col("token_fp"))
+    val (capped, drops) = Blocking.splitOversizedBlocks(slim, "block_key",
+      "token_fp", cfg.pairCapPerBlock)
+    val idPairs = Blocking.candidatePairs(capped, "block_key", "id", Nil)
+      .select(col("l_id"), col("r_id"))
+    val payload = extracted.select(col("id"), col("url"), col("norm_title"),
+      col("tokens"), col("model_tokens"))
+    // Attaching payloads = two id-joins. When the payload table fits the
+    // broadcast budget, hint broadcast: the pair table then never
+    // shuffles. Beyond the budget (true corpus scale) it degrades to
+    // shuffle joins, which AQE sizes from runtime stats. Plan statistics
+    // are "unknown" on checkpointed inputs, so the decision uses an
+    // explicit row count (one cheap job on the checkpointed stage).
+    val small = nRows.getOrElse(extracted.count()) <= cfg.payloadBroadcastMaxRows
+    def side(p: String) = {
+      val renamed = payload.toDF(payload.columns.map(p + _): _*)
+      if (small) broadcast(renamed) else renamed
+    }
+    val pairs = idPairs
+      .join(side("l_"), Seq("l_id"))
+      .join(side("r_"), Seq("r_id"))
     val jw = Similarity.jaro_winkler(col("l_norm_title"), col("r_norm_title"))
     val lev = Similarity.levenshteinRatio(col("l_norm_title"), col("r_norm_title"))
     val cos = Similarity.tokenCosine(col("l_tokens"), col("r_tokens"))
@@ -99,14 +157,22 @@ object ERPipeline {
     * no edge above threshold form singleton clusters (component = own id). */
   def run(spark: SparkSession, pages: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val ex = extract(pages)
-    val blocked = block(ex, cfg)
-    val (scored, drops) = scorePairs(blocked, cfg)
+    // extract feeds blocking, payload attachment and the final assignment
+    // join — materialize once (production: a stage snapshot instead)
+    val ex = extract(pages).localCheckpoint()
+    val n = Some(ex.count())
+    val blocked = block(ex, cfg, n)
+    val (scored, drops) = scorePairs(ex, blocked, cfg, n)
     val comps = cluster(spark, scored, cfg)
+    // Materialize the assignment (one narrow row per url): downstream
+    // consumers (evaluation joins, metrics) would otherwise re-execute the
+    // whole pipeline per action. At production scale this is the stage
+    // snapshot (graft.io.Snapshots.commit) instead of a localCheckpoint.
     val assign = ex.select(col("url"), col("id"))
       .join(comps, Seq("id"), "left")
       .select(col("url"), col("id"),
         coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint()
     (assign, drops)
   }
 

@@ -1,0 +1,142 @@
+package graft.norm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class EnrichmentSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("amazon: price coercion, manufacturer canon, closed schema") {
+    val df = Seq(
+      (0, 1, "Adobe  Photoshop CS3 CS3", "Adobe Systems Inc", "$1,299.00",
+        "Photoshop CS3", "Adobe", "n/a"),
+      (1, 0, "Corel Draw", "Corel Corp.", "12.5",
+        "Paint Shop", "", "unknown"))
+      .toDF("id", "label", "left_title", "left_manufacturer", "left_price",
+        "right_title", "right_manufacturer", "right_price")
+    val out = Enrichment.enrich(df, Enrichment.amazon).collect()
+    assert(out(0).getAs[String]("left_price") === "1299.00")
+    assert(out(0).getAs[String]("right_price") === "unknown")
+    assert(out(0).getAs[String]("left_manufacturer") === "Adobe Systems")
+    assert(out(0).getAs[String]("left_title") === "Adobe Photoshop Creative Suite 3")
+    assert(out(1).getAs[String]("left_price") === "12.50")
+    assert(out(1).getAs[String]("right_manufacturer") === "unknown")
+    val cols = Enrichment.enrich(df, Enrichment.amazon).columns.toSeq
+    assert(cols === Seq("id", "label", "left_title", "right_title",
+      "left_manufacturer", "right_manufacturer", "left_price", "right_price"))
+  }
+
+  test("beer: key renaming, style split, abv + boolean coercion") {
+    val df = Seq((0, 1, "old  rasputin imperial stout", "North Coast Brewing Co.",
+      "American Amber / Red Ale", "9.2 %", "", "yes",
+      "Old Rasputin", "north coast", "Red Ale", "unknown", "1", "no"))
+      .toDF("id", "label",
+        "left_Beer_Name", "left_Brew_Factory_Name", "left_Style", "left_ABV",
+        "left_is_amber", "left_is_ale",
+        "right_Beer_Name", "right_Brew_Factory_Name", "right_Style",
+        "right_ABV", "right_is_amber", "right_is_ale")
+    val out = Enrichment.enrich(df, Enrichment.beer).collect()(0)
+    assert(out.getAs[String]("left_name") === "Old Rasputin Imperial Stout")
+    assert(out.getAs[String]("left_brewery") === "North Coast Brewing")
+    assert(out.getAs[String]("left_primary_style") === "Red Ale")
+    assert(out.getAs[String]("left_secondary_style") === "Amber")
+    assert(out.getAs[String]("left_abv") === "9.2")
+    assert(out.getAs[String]("right_abv") === "unknown")
+    assert(out.getAs[String]("left_is_ale") === "true")
+    assert(out.getAs[String]("right_is_amber") === "true")
+    assert(out.getAs[String]("right_is_ale") === "false")
+    // fill-missing (C4): fields absent from input still appear
+    assert(out.getAs[String]("left_is_lager") === "false")
+    assert(out.getAs[String]("left_special_ingredients") === "unknown")
+  }
+
+  test("dblacm: venue canonicalization, year extraction, VAL - rendering") {
+    val df = Seq(
+      (0, 1, "A Query Engine", "J. Doe,  M. Roe", "SIGMOD", "published 1999",
+        "A Query  Engine", "J. Doe, M. Roe", "International Conference on Management of Data", "1999"),
+      (1, 0, "Another Paper", "", "VLDB J.", "no year here",
+        "Third Paper", "X. Y", "unknown venue", "2001"))
+      .toDF("id", "label", "left_title", "left_authors", "left_venue", "left_year",
+        "right_title", "right_authors", "right_venue", "right_year")
+    val out = Enrichment.enrich(df, Enrichment.dblacm).collect()
+    assert(out(0).getAs[String]("left_venue") === "SIGMOD Conference")
+    assert(out(0).getAs[String]("right_venue") === "SIGMOD Conference")
+    assert(out(0).getAs[String]("left_year") === "1999")
+    assert(out(1).getAs[String]("left_venue") === "VLDB Journal")
+    assert(out(1).getAs[String]("left_year") === "VAL -")
+    assert(out(1).getAs[String]("left_authors") === "VAL -")
+  }
+
+  test("fodors: phone + address + city normalization") {
+    val df = Seq((0, 1, "  the palm  ", "837 W. 5th St.", "la",
+      "310/859-4818", "steakhouses", "0",
+      "Palm The", "837 West 5th Street", "los angeles",
+      "(310) 859 4818", "Steak House", "0"))
+      .toDF("id", "label", "left_name", "left_addr", "left_city", "left_phone",
+        "left_category", "left_class", "right_name", "right_addr", "right_city",
+        "right_phone", "right_category", "right_class")
+    val out = Enrichment.enrich(df, Enrichment.fodors).collect()(0)
+    assert(out.getAs[String]("left_phone") === "310-859-4818")
+    assert(out.getAs[String]("right_phone") === "310-859-4818")
+    assert(out.getAs[String]("left_city") === "Los Angeles")
+    assert(out.getAs[String]("left_addr").contains("Street"))
+    assert(out.getAs[String]("left_category") === "steakhouses")
+  }
+
+  test("itunes: USD price, MM:SS time, ISO date, VAL - missing") {
+    val df = Seq((0, 1, "Titanium", "David Guetta", "Nothing but the Beat",
+      "Dance", "$1.29", "(C) 2011 EMI", "3:5", "26-Aug-11",
+      "Titanium (feat. Sia)", "David Guetta", "Nothing But the Beat",
+      "Dance, Music", "1.29", "2011 EMI", "4:05", "August 26, 2011"))
+      .toDF("id", "label",
+        "left_Song_Name", "left_Artist_Name", "left_Album_Name", "left_Genre",
+        "left_Price", "left_CopyRight", "left_Time", "left_Released",
+        "right_Song_Name", "right_Artist_Name", "right_Album_Name", "right_Genre",
+        "right_Price", "right_CopyRight", "right_Time", "right_Released")
+    val out = Enrichment.enrich(df, Enrichment.itunes).collect()(0)
+    assert(out.getAs[String]("left_Price") === "USD 1.29")
+    assert(out.getAs[String]("right_Price") === "USD 1.29")
+    assert(out.getAs[String]("left_Time") === "03:05")
+    assert(out.getAs[String]("left_Released") === "2011-08-26")
+    assert(out.getAs[String]("right_Released") === "2011-08-26")
+  }
+
+  test("walmart: modelno charset preservation (R6)") {
+    val df = Seq((0, 0, "HP Pavilion Laptop", "electronics/computers", "hewlett packard inc",
+      "dv6-3225dx!", "$599", "Dell Laptop", "Computers", "Dell", "i15R-2646MRB", "649.99"))
+      .toDF("id", "label", "left_title", "left_category", "left_brand",
+        "left_modelno", "left_price", "right_title", "right_category",
+        "right_brand", "right_modelno", "right_price")
+    val out = Enrichment.enrich(df, Enrichment.walmart).collect()(0)
+    assert(out.getAs[String]("left_modelno") === "DV6-3225DX")
+    assert(out.getAs[String]("right_modelno") === "I15R-2646MRB")
+    assert(out.getAs[String]("left_price") === "599.00")
+    assert(out.getAs[String]("left_category") === "electronics/computers")
+  }
+
+  test("wdc title: vendor noise + lang tags + units (byte-level)") {
+    val df = Seq(
+      (0, 1, "\"Corsair Vengeance 16GB\"@en | CDW.com", "Corsair Vengeance 16GB"),
+      (1, 0, "Dell UltraSharp 27 27in Monitor SCAN UK", "LG 24 in monitor"))
+      .toDF("id", "label", "left_title", "right_title")
+    val out = Enrichment.enrich(df, Enrichment.wdcTitle).collect()
+    assert(out(0).getAs[String]("left_title") === "Corsair Vengeance 16GB")
+    assert(out(1).getAs[String]("left_title") === "Dell UltraSharp 27 27 inch Monitor")
+    assert(out(1).getAs[String]("right_title") === "LG 24 inch monitor")
+  }
+
+  test("label-conditioned alignment (R14) only fires when enabled and label=1") {
+    val df = Seq(
+      (0, 1, "X", "Adobe", "9.99", "X", "", ""),
+      (1, 0, "Y", "Adobe", "9.99", "Y", "", ""))
+      .toDF("id", "label", "left_title", "left_manufacturer", "left_price",
+        "right_title", "right_manufacturer", "right_price")
+    val plain = Enrichment.enrich(df, Enrichment.amazon).collect()
+    assert(plain(0).getAs[String]("right_price") === "unknown")
+    val aligned = Enrichment.enrich(df,
+      Enrichment.amazon.copy(alignMatches = true)).collect()
+    assert(aligned(0).getAs[String]("right_price") === "9.99")   // copied
+    assert(aligned(0).getAs[String]("right_manufacturer") === "Adobe")
+    assert(aligned(1).getAs[String]("right_price") === "unknown") // label=0
+  }
+}

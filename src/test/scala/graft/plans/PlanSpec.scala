@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/**
+ * Physical-plan assertions: the properties that make these operators
+ * viable at 100 TB — predicate pushdown into the parquet scan, column
+ * pruning, broadcast of small join sides, map-side partial aggregation,
+ * whole-stage codegen on the hot paths. A regression here is a
+ * performance bug even when results stay correct.
+ */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (pushdown + pruning)") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("q3 join broadcasts the small customer dimension") {
+    val plan = planString(SparkEntry.queries("q3_join_agg")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q1 aggregation is partial (map-side combine) and codegen'd") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum"), plan) // map-side combine
+    df.collect() // finalize the adaptive plan, then check codegen stages
+    val finalPlan = planString(df)
+    assert(finalPlan.contains("WholeStageCodegen"), finalPlan)
+  }
+
+  test("extraction + blocking stage is shuffle-free (narrow maps only)") {
+    val ex = graft.pipeline.ERPipeline.extract(
+      graft.gen.PageGen.pages(spark, 50, seed = 1L))
+    val plan = planString(ex)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in extract:\n$plan")
+  }
+
+  test("anti-join stays a broadcast on a small build side") {
+    val plan = planString(SparkEntry.queries("q5_anti_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+  }
+}
