@@ -31,6 +31,20 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
+  /** Oracle staging: operator INPUTS that both engines must read byte-
+    * identically (synthesized fixtures) are written here as parquet by the
+    * Spark query, then read back so the Spark plan and the DuckDB oracle
+    * consume the same rows. Content is seed-deterministic, so concurrent
+    * overwrites across sf runs are value-identical. */
+  private val stageRoot = "/root/repo/target/oracle_stage"
+
+  private def stageAndRead(spark: SparkSession, name: String, df: DataFrame)
+      : DataFrame = {
+    val path = s"$stageRoot/$name"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full ER pipeline over a generated 300-entity page corpus: extract →
     * block(LSH) → score → cluster, returning url→component assignments. */
@@ -155,58 +169,146 @@ object SparkEntry {
       Ann.cosineNearDupLsh(t(dir, "embeddings"), bits = 12, cosFloor = 0.9)
     }),
 
-    // ---------------- ER pipeline ops (north_rule; no SQL equivalent) -----
+    // ---------------- ER pipeline ops (north_rule) ------------------------
     "er_extract" -> ((s, dir) => { implicit val sp = s; import s.implicits._
-      ERPipeline.extract(PageGen.pages(s, 400, seed = 7L))
+      // pages staged so DuckDB re-runs the extraction chain on the same rows
+      val staged = stageAndRead(s, "er_pages",
+        PageGen.pages(s, 400, seed = 7L).select($"url", $"text"))
+      ERPipeline.extract(staged)
         .select($"url", $"canonical_text", $"norm_title")
     }),
     "er_clusters" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // planted truth staged: with pairwise F1 = 1.0 (spec-enforced),
+      // every cluster is exactly one planted entity and CC converges to
+      // min(id) per component — so the oracle derives component ids from
+      // the truth table alone.
+      stageAndRead(s, "er_truth", PageGen.pagesWithTruth(s, 400, seed = 7L)
+        .select($"url", xxhash64($"url").as("id"), $"entity_id"))
       val (cl, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))
       cl.select($"url", $"component")
     }),
     "er_f1" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       val (cl, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))
-      ERPipeline.evaluate(cl, PageGen.labeledPairs(s, 400, seed = 7L))
+      val clStaged = stageAndRead(s, "er_f1_clusters",
+        cl.select($"url", $"component"))
+      val lpStaged = stageAndRead(s, "er_f1_pairs",
+        PageGen.labeledPairs(s, 400, seed = 7L)
+          .select($"left_url", $"right_url", $"label"))
+      ERPipeline.evaluate(clStaged, lpStaged)
     }),
     "convert_ditto" -> ((s, dir) => { implicit val sp = s; import s.implicits._
-      // Ditto COL/VAL lines synthesized from the page corpus → wide pairs
-      val pairs = PageGen.labeledPairs(s, 200, seed = 5L).limit(500)
+      // Ditto COL/VAL lines synthesized from the page corpus → wide pairs.
+      // Deterministic 500-line subset via a range-partitioned rank (no
+      // global window, no unordered limit), staged for the DuckDB twin.
+      val pairs = PageGen.labeledPairs(s, 200, seed = 5L)
       val pages = PageGen.pagesWithTruth(s, 200, seed = 5L)
         .select($"url", $"text")
-      val lines = pairs
+      val linesAll = pairs
         .join(pages.toDF("left_url", "l_text"), Seq("left_url"))
         .join(pages.toDF("right_url", "r_text"), Seq("right_url"))
-        .select(concat_ws("\t", $"l_text", $"r_text",
-          $"label".cast(StringType)).as("value"))
-      graft.convert.DittoConverter.convertLines(s, lines,
+        .select($"left_url", $"right_url", concat_ws("\t", $"l_text",
+          $"r_text", $"label".cast(StringType)).as("value"))
+      val subset = graft.ops.Ids
+        .denseIdByOrder(linesAll, Seq($"left_url", $"right_url"), "ord")
+        .where($"ord" < 500).select($"ord", $"value")
+      val staged = stageAndRead(s, "convert_lines", subset)
+      graft.convert.DittoConverter.convertLines(s, staged,
         graft.convert.DittoConverter.Config(robust = true,
-          preferredOrder = Seq("title", "brand")))
+          preferredOrder = Seq("title", "brand")), ordCol = Some("ord"))
     }),
     "enrich_titles" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // enrichment operator (M1): deterministic per-field rule chains
-      val pairs = PageGen.labeledPairs(s, 200, seed = 5L).limit(500)
+      val pairs = PageGen.labeledPairs(s, 200, seed = 5L)
       val pages = PageGen.pagesWithTruth(s, 200, seed = 5L)
         .select($"url",
           GraftFunctions.extractTitleUdf($"text").as("title"))
       val wide = pairs
         .join(pages.toDF("left_url", "left_title"), Seq("left_url"))
         .join(pages.toDF("right_url", "right_title"), Seq("right_url"))
-        .withColumn("id", row_number().over(
-          Window.orderBy($"left_url", $"right_url")) - 1)
+      val subset = graft.ops.Ids
+        .denseIdByOrder(wide, Seq($"left_url", $"right_url"), "id")
+        .where($"id" < 500)
         .select($"id", $"label", $"left_title", $"right_title")
-      graft.norm.Enrichment.enrich(wide, graft.norm.Enrichment.wdcTitle)
+      val staged = stageAndRead(s, "enrich_input", subset)
+      graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.wdcTitle)
     }),
     "er_similarity" -> ((s, dir) => { implicit val sp = s; import s.implicits._
-      // similarity measures over part names (testdata-backed, deterministic)
-      val p = t(dir, "part").select($"p_partkey", $"p_name")
-      val q = p.toDF("q_partkey", "q_name")
-      p.join(q, $"p_partkey" =!= $"q_partkey" &&
-          pmod($"p_partkey" + $"q_partkey", lit(97)) === 0)
+      // similarity measures over part names. The pair predicate
+      // (p+q) % 97 == 0 is expressed as an EQUI-join on residues —
+      // p%97 == (97 - q%97) % 97 — so Catalyst plans a shuffled hash /
+      // sort-merge join, not an O(n²) BroadcastNestedLoop. Jaro-Winkler
+      // (no cross-engine twin; DuckDB's variant differs) is verified by
+      // the Winkler-golden unit suite; this query carries the SQL-
+      // expressible measures for the DuckDB oracle.
+      val toks = (c: Column) => array_distinct(GraftFunctions.tokens(c))
+      val p = t(dir, "part").select($"p_partkey", $"p_name",
+        toks($"p_name").as("p_toks"),
+        pmod($"p_partkey", lit(97)).as("res"))
+      val q = t(dir, "part").select($"p_partkey".as("q_partkey"),
+        $"p_name".as("q_name"), toks($"p_name").as("q_toks"),
+        pmod(lit(97) - pmod($"p_partkey", lit(97)), lit(97)).as("res"))
+      val inter = size(array_intersect($"p_toks", $"q_toks")).cast(DoubleType)
+      val uni = size(array_union($"p_toks", $"q_toks")).cast(DoubleType)
+      p.join(q, Seq("res")).where($"p_partkey" =!= $"q_partkey")
         .select($"p_partkey", $"q_partkey",
-          Similarity.jaro_winkler($"p_name", $"q_name").as("jw"),
-          levenshtein($"p_name", $"q_name").as("lev"))
+          levenshtein($"p_name", $"q_name").cast(LongType).as("lev"),
+          round(Similarity.levenshteinRatio($"p_name", $"q_name"), 6)
+            .as("lev_ratio"),
+          round(inter / uni, 6).as("jaccard"),
+          round(inter / sqrt(size($"p_toks") * size($"q_toks")), 6).as("cosine"))
     })
   )
+
+  // ---------- DuckDB expression builders for the staged-fixture oracles --
+  // Each mirrors one Column chain from graft.norm / graft.functions; the
+  // Scala regex patterns are embedded verbatim (RE2-compatible subset).
+
+  /** graft.functions.GraftFunctions.nullMarkers */
+  private def sqlNullMark(e: String): String =
+    s"(CASE WHEN lower(trim($e)) IN ('','n/a','na','none','null','unknown','-','?','val -') THEN NULL ELSE $e END)"
+
+  /** dedupeWords + wsCollapse (consecutive case-insensitive word dedupe,
+    * whitespace collapse, trim) via DuckDB indexed list lambdas. */
+  private def sqlDedupeCollapse(e: String): String = {
+    val words = s"list_filter(regexp_split_to_array($e, '\\s+'), x -> x <> '')"
+    s"array_to_string(list_filter($words, (x, i) -> i = 1 OR lower(x) <> lower(($words)[i-1])), ' ')"
+  }
+
+  /** graft.norm.Normalize.stripVendorNoise (same 8 patterns, same order) */
+  private def sqlVendorNoise(e: String): String =
+    graft.norm.Normalize.vendorNoisePatterns.foldLeft(e)((acc, p) =>
+      s"regexp_replace($acc, '(?i)$p', '', 'g')")
+
+  /** graft.norm.Normalize.stripLangTags */
+  private def sqlLangTags(e: String): String =
+    s"regexp_replace(regexp_replace($e, '\"', '', 'g'), '@[A-Za-z]{2}\\b', '', 'g')"
+
+  /** graft.norm.Normalize.unitSpacing */
+  private def sqlUnitSpacing(e: String): String =
+    s"regexp_replace($e, '(?i)([0-9](?:\\.[0-9]+)?)\\s*(?:inch|in)\\b', '\\1 inch', 'g')"
+
+  /** Enrichment.wdcTitle title rule: unitSpacing(stripVendorNoise(
+    * stripLangTags(cleanText(nullMarkers(c))))) then missing→'unknown'. */
+  private def sqlWdcTitle(c: String): String = {
+    val clean = sqlDedupeCollapse(
+      s"regexp_replace(${sqlNullMark(c)}, '[\\\\`]', '', 'g')")
+    s"COALESCE(${sqlUnitSpacing(sqlVendorNoise(sqlLangTags(clean)))}, 'unknown')"
+  }
+
+  /** ColVal.extractTitle on the synthesized `COL title VAL … COL brand
+    * VAL …` page text (values never embed COL/VAL, so the greedy capture
+    * is equivalent to the reference's lazy+lookahead slice; RE2 has no
+    * lookahead). */
+  private def sqlExtractTitle(c: String): String =
+    s"trim(replace(replace(replace(replace(COALESCE(regexp_extract($c, 'COL title VAL (.*) COL brand VAL', 1), ''), '\"', ''), '@en', ''), '@NL', ''), '@fr', ''))"
+
+  /** ColVal.parseRobust field value on the same controlled input: slice,
+    * whitespace-collapse, strip ' |;,:'. */
+  private def sqlRobustField(line: String, capture: String): String =
+    s"trim(regexp_replace(COALESCE(regexp_extract($line, '$capture', 1), ''), '\\s+', ' ', 'g'), ' |;,:')"
+
+  private def stagePath(name: String): String =
+    s"read_parquet('$stageRoot/$name/*.parquet')"
 
   /** DuckDB oracles — same table names, same column aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -287,6 +389,112 @@ object SparkEntry {
         | WHEN lower(text) LIKE '% le %' OR lower(text) LIKE '% et %'
         |   OR lower(text) LIKE '% les %' THEN 'fr'
         | ELSE 'unknown' END AS lang_guess
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // LSH candidate generation is pruning, not semantics: on the sf0.01
+    // corpus the deterministic band family has verified recall 1.0, so the
+    // exhaustive O(n²) shingle-Jaccard set IS the expected output (checked
+    // exact, incl. jaccard values, before this oracle landed).
+    "doc_minhash_neardup" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in range(1, greatest(len(toks)-2, 0)+1)]) sh FROM d)
+        |SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+        |  len(list_intersect(a.sh, b.sh)) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) /
+        |  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+    // ------- staged-fixture oracles (inputs written by the Spark query) ---
+    "convert_ditto" -> {
+      val lt = sqlRobustField("l", "COL title VAL (.*) COL brand VAL")
+      val lb = sqlRobustField("l", "COL brand VAL (.*)$")
+      val rt = sqlRobustField("r", "COL title VAL (.*) COL brand VAL")
+      val rb = sqlRobustField("r", "COL brand VAL (.*)$")
+      s"""WITH src AS (SELECT ord, value FROM ${stagePath("convert_lines")}),
+         |p AS (SELECT ord, regexp_split_to_array(trim(value), '\\t+') parts
+         |      FROM src WHERE length(trim(value)) > 0),
+         |ok AS (SELECT ord, parts[1] l, parts[2] r, trim(parts[3]) lab
+         |       FROM p WHERE len(parts) = 3
+         |         AND regexp_matches(trim(parts[3]), '^[-+]?[0-9]+$$')),
+         |w AS (SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS INT) AS id,
+         |             CAST(lab AS INT) AS label, l, r FROM ok)
+         |SELECT id, label, $lt AS left_title, $rt AS right_title,
+         |       $lb AS left_brand, $rb AS right_brand FROM w""".stripMargin
+    },
+    "enrich_titles" ->
+      s"""SELECT id, label, ${sqlWdcTitle("left_title")} AS left_title,
+         |  ${sqlWdcTitle("right_title")} AS right_title
+         |FROM ${stagePath("enrich_input")}""".stripMargin,
+    "er_extract" -> {
+      val canon = sqlExtractTitle("text")
+      val norm = s"lower(${sqlDedupeCollapse(sqlUnitSpacing(sqlVendorNoise(sqlLangTags("canonical_text"))))})"
+      s"""WITH e AS (SELECT url, $canon AS canonical_text
+         |           FROM ${stagePath("er_pages")})
+         |SELECT url, canonical_text, $norm AS norm_title FROM e""".stripMargin
+    },
+    "er_clusters" ->
+      s"""SELECT url, min(id) OVER (PARTITION BY entity_id) AS component
+         |FROM ${stagePath("er_truth")}""".stripMargin,
+    "er_f1" ->
+      s"""WITH cl AS (SELECT * FROM ${stagePath("er_f1_clusters")}),
+         |lp AS (SELECT * FROM ${stagePath("er_f1_pairs")}),
+         |j AS (SELECT lp.label AS gold,
+         |  CASE WHEN l.component IS NOT NULL AND l.component = r.component
+         |       THEN 1 ELSE 0 END AS pred
+         |  FROM lp LEFT JOIN cl l ON lp.left_url = l.url
+         |          LEFT JOIN cl r ON lp.right_url = r.url),
+         |c AS (SELECT
+         |  CAST(sum(CASE WHEN gold=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) tp,
+         |  CAST(sum(CASE WHEN gold=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) fp,
+         |  CAST(sum(CASE WHEN gold=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) fn,
+         |  CAST(sum(CASE WHEN gold=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) tn
+         |  FROM j),
+         |pr AS (SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall
+         |  FROM c)
+         |SELECT tp, fp, fn, tn, precision, recall,
+         |  CASE WHEN precision + recall = 0.0 THEN 0.0
+         |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+         |FROM pr""".stripMargin,
+    "emb_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id query_id, v qv FROM e ORDER BY vec_id LIMIT 8),
+        |s AS (SELECT query_id, e.vec_id neighbor_id,
+        |        round(list_cosine_similarity(qv, e.v), 6) cos
+        |      FROM q, e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT s.*, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin,
+    "emb_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id l_id, b.vec_id r_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    "er_similarity" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |  list_distinct(list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '')) toks
+        |  FROM part)
+        |SELECT a.p_partkey AS p_partkey, b.p_partkey AS q_partkey,
+        |  levenshtein(a.p_name, b.p_name) AS lev,
+        |  round(CASE WHEN greatest(length(a.p_name), length(b.p_name)) = 0
+        |    THEN 1.0 ELSE 1.0 - levenshtein(a.p_name, b.p_name) /
+        |      greatest(length(a.p_name), length(b.p_name)) END, 6) AS lev_ratio,
+        |  round(len(list_intersect(a.toks, b.toks)) /
+        |    len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard,
+        |  round(len(list_intersect(a.toks, b.toks)) /
+        |    sqrt(len(a.toks) * len(b.toks)), 6) AS cosine
+        |FROM p a JOIN p b
+        |  ON (a.p_partkey % 97) = (97 - (b.p_partkey % 97)) % 97
+        |  AND a.p_partkey <> b.p_partkey""".stripMargin
   )
 }

@@ -35,34 +35,50 @@ object Ann {
       .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos"), col("rank"))
   }
 
+  /** splitmix64 finalizer — deterministic sign stream for the planes. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic ±1 hyperplane, materialized ONCE as an array literal
+    * (the previous formulation recomputed bits×dim hash calls per row). */
+  private def planeLit(bit: Int, dim: Int): Column =
+    typedLit((0 until dim).map(j =>
+      if ((mix64(bit.toLong * 1000003L + j) & 1L) == 0L) 1.0d else -1.0d).toArray)
+
   /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
-    * with deterministic pseudo-random hyperplanes (component j of plane b
-    * is ±1 by xxhash64(b, j) parity — no stored model, fully codegen'd). */
+    * with deterministic ±1 hyperplanes baked in as literals — per-row work
+    * is exactly bits×dim multiply-adds, fully codegen'd, no stored model. */
   def rhpSignature(emb: Column, bits: Int, dim: Int): Column = {
     val sigBits = (0 until bits).map { b =>
       val dot = aggregate(
-        zip_with(emb,
-          transform(sequence(lit(0), lit(dim - 1)),
-            j => when(pmod(xxhash64(lit(b), j), lit(2)) === 0, lit(1.0d))
-              .otherwise(lit(-1.0d))),
-          (x, w) => x.cast(DoubleType) * w),
+        zip_with(emb, planeLit(b, dim), (x, w) => x.cast(DoubleType) * w),
         lit(0.0d), (acc, v) => acc + v)
       when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }
     sigBits.reduce((a: Column, b: Column) => a + b)
   }
 
+  /** Embedding dimensionality probed from the first row (one tiny job);
+    * callers at true scale should pass the known dim instead. */
+  def probeDim(emb: DataFrame, embCol: String = "embedding"): Int =
+    emb.select(size(col(embCol))).head().getInt(0)
+
   /** Embedding near-duplicate pairs: bucket by RHP signature, verify by
     * exact cosine >= cosFloor. Multi-probe: also joins buckets at hamming
     * distance 1 (flip each bit) to recover near-boundary pairs. */
-  def cosineNearDupLsh(emb: DataFrame, bits: Int, cosFloor: Double): DataFrame = {
-    val dim = 64 // embeddings.parquet fixture dim; parameterize per corpus
+  def cosineNearDupLsh(emb: DataFrame, bits: Int, cosFloor: Double,
+      dimOpt: Option[Int] = None): DataFrame = {
+    val dim = dimOpt.getOrElse(probeDim(emb))
     val sig = emb.select(col("vec_id"), col("embedding"),
       rhpSignature(col("embedding"), bits, dim).as("sig"))
     // probe buckets: own signature + each 1-bit flip

@@ -66,7 +66,9 @@ object PipelineApp {
     Snapshots.writeLineage(spark, scored, workRoot, "scored")
 
     val clusters = Snapshots.getOrCompute(spark, workRoot, "clusters") {
-      val comps = ERPipeline.cluster(spark, scored, cfg)
+      // reliable checkpoint() (not localCheckpoint) for CC round state:
+      // survives executor loss, resumes from storage (north_rule)
+      val comps = ERPipeline.cluster(spark, scored, cfg, _.checkpoint())
       extracted.select(col("url"), col("id"))
         .join(comps, Seq("id"), "left")
         .select(col("url"), col("id"),

@@ -25,8 +25,14 @@ import org.apache.spark.sql.types.DecimalType
 object ConnectedComponents {
 
   /** @param edges DataFrame with two numeric columns (src, dst).
+    * @param persist per-round state materializer. Default `localCheckpoint`
+    *   is fast but memory-pinned and NOT fault-tolerant — production runs
+    *   (PipelineApp) pass `_.checkpoint()` so round state lands on reliable
+    *   storage and a lost executor replays from the checkpoint, not from
+    *   the whole lineage.
     * @return DataFrame(id LONG, component LONG), one row per distinct node. */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     import spark.implicits._
     val base = edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -37,7 +43,7 @@ object ConnectedComponents {
       .union(base.select($"hi".as("id"))).distinct()
 
     // edge set invariant between rounds: canonical (hi > lo) pairs
-    var cur = base.select($"hi".as("u"), $"lo".as("v")).localCheckpoint()
+    var cur = persist(base.select($"hi".as("u"), $"lo".as("v")))
     def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
       // order-independent, exact (decimal keeps ANSI mode overflow-free)
       val r = df.agg(count(lit(1)),
@@ -74,15 +80,15 @@ object ConnectedComponents {
         .where($"a" =!= $"b")
         .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
         .distinct()
-        .localCheckpoint()
+      val smallP = persist(small)
 
       // convergence test: checksum of the new edge set vs the previous
       // round's (a collision would need equal count AND equal exact sum
       // of 64-bit pair hashes). One aggregate job per round.
-      val smallSum = checksum(small)
+      val smallSum = checksum(smallP)
       converged = smallSum == curSum
       curSum = smallSum
-      cur = small
+      cur = smallP
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

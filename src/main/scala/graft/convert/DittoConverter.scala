@@ -2,7 +2,6 @@ package graft.convert
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.functions.GraftFunctions
 
@@ -19,10 +18,9 @@ import graft.functions.GraftFunctions
  *
  * Row ids reproduce the reference's input-order sequence exactly:
  * `monotonically_increasing_id` is ordered by (partition, offset) which for
- * a single text file follows byte order; the row_number window makes the
- * ids dense. The one global window is converter-scale-appropriate (these
- * files are small); for 100 TB inputs use zipWithIndex-style per-partition
- * offsets instead.
+ * a text source follows byte order; graft.ops.Ids.denseIdByMono makes the
+ * ids dense with per-partition ranks + prefix-sum offsets — no
+ * single-partition global window anywhere in the plan.
  */
 object DittoConverter {
 
@@ -31,43 +29,57 @@ object DittoConverter {
       preferredOrder: Seq[String] = Nil,
       normalizeYear: Boolean = false) // dcm.py:93-97
 
-  def convertLines(spark: SparkSession, lines: DataFrame, cfg: Config): DataFrame = {
+  /** @param ordCol when the caller already carries an explicit input-order
+    *   column (e.g. staged fixtures), ids are assigned in ITS order via a
+    *   range-repartitioned rank; otherwise input (byte) order via
+    *   `monotonically_increasing_id`. Either way: no global window. */
+  def convertLines(spark: SparkSession, lines: DataFrame, cfg: Config,
+      ordCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     val parseUdf =
       if (cfg.robust) GraftFunctions.parseColValRobust
       else GraftFunctions.parseColValStrict
 
     // P3 + P1: blank filter, tolerant tab split, exactly 3 parts
-    val split0 = lines
-      .withColumn("_ord", monotonically_increasing_id())
+    val src =
+      if (ordCol.isDefined) lines
+      else lines.withColumn("_ord", monotonically_increasing_id())
+    val split0 = src
       .withColumn("line", GraftFunctions.pyTrim($"value"))
       .where(length($"line") > 0)
       .withColumn("parts",
         if (cfg.robust) split($"line", "\t+") else split($"line", "\t", -1))
       .where(size($"parts") === 3)
+      .withColumn("left_map", parseUdf(element_at($"parts", 1)))
+      .withColumn("right_map", parseUdf(element_at($"parts", 2)))
+      .cache()
+
+    // C1/A1: two-pass schema inference — union of keys from both sides.
+    // Computed BEFORE the label filter: the reference's first pass unions
+    // COL keys from every 3-part line, label validity is only checked in
+    // the second pass (dcm.py two-pass shape) — a 3-part line with a bad
+    // label still contributes columns.
+    val fields = split0
+      .select(explode(concat(map_keys($"left_map"), map_keys($"right_map"))).as("k"))
+      .distinct().as[String].collect().toSeq
 
     // P2: label coercion — Python int() accepts optional sign + digits
     val labeled = split0
       .withColumn("label_raw", GraftFunctions.pyTrim(element_at($"parts", 3)))
       .where($"label_raw".rlike("^[-+]?[0-9]+$"))
       .withColumn("label", $"label_raw".cast(IntegerType))
-      .withColumn("left_map", parseUdf(element_at($"parts", 1)))
-      .withColumn("right_map", parseUdf(element_at($"parts", 2)))
-      .cache()
-
-    // C1/A1: two-pass schema inference — union of keys from both sides
-    val fields = labeled
-      .select(explode(concat(map_keys($"left_map"), map_keys($"right_map"))).as("k"))
-      .distinct().as[String].collect().toSeq
 
     // C2: preferred fields first, rest sorted
     val ordered =
       cfg.preferredOrder.filter(fields.contains) ++
         fields.filterNot(cfg.preferredOrder.contains).sorted
 
-    // O1: dense sequential id in input order
-    val w = Window.orderBy($"_ord")
-    val withId = labeled.withColumn("id", row_number().over(w) - 1)
+    // O1: dense sequential id in input order (per-partition offsets — no
+    // global window; see graft.ops.Ids)
+    val withId = ordCol match {
+      case Some(oc) => graft.ops.Ids.denseIdByOrder(labeled, Seq(col(oc)), "id")
+      case None     => graft.ops.Ids.denseIdByMono(labeled, "_ord", "id")
+    }
 
     val sideCols = ordered.flatMap { f =>
       def side(m: String, pfx: String) = {
@@ -90,14 +102,14 @@ object DittoConverter {
     * its looser line filter (>= 3 tab parts, extras ignored). */
   def convertTitleOnly(spark: SparkSession, lines: DataFrame): DataFrame = {
     import spark.implicits._
-    lines
+    val kept = lines
       .withColumn("_ord", monotonically_increasing_id())
       .withColumn("line", GraftFunctions.pyTrim($"value"))
       .withColumn("parts", split($"line", "\t", -1))
       .where(size($"parts") >= 3)
       .withColumn("label_raw", GraftFunctions.pyTrim(element_at($"parts", 3)))
       .where($"label_raw".rlike("^[-+]?[0-9]+$"))
-      .withColumn("id", row_number().over(Window.orderBy($"_ord")) - 1)
+    graft.ops.Ids.denseIdByMono(kept, "_ord", "id")
       .select($"id", $"label_raw".cast(IntegerType).as("label"),
         GraftFunctions.extractTitleUdf(element_at($"parts", 1)).as("title_left"),
         GraftFunctions.extractTitleUdf(element_at($"parts", 2)).as("title_right"))
@@ -123,18 +135,20 @@ object DittoConverter {
       .csv(path)
 
   /** Byte-exact QUOTE_NONNUMERIC parity writer (pandas to_csv semantics:
-    * unquoted header, unquoted numeric cells, quoted strings with `"`
-    * doubled). Emits the file as ordered text lines. */
+    * header labels are strings so QUOTE_NONNUMERIC quotes them too,
+    * numeric cells bare, string cells quoted with `"` doubled). Emits the
+    * file as ordered text lines. */
   def referenceCsvLines(df: DataFrame): DataFrame = {
     val numeric = Set("id", "label")
     val cols = df.columns
     def cell(name: String) =
       if (numeric(name)) col(name).cast(StringType)
       else concat(lit("\""), regexp_replace(col(name), "\"", "\"\""), lit("\""))
+    def quoteLabel(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
     val body = df.select(col("id").cast(LongType).as("_k"),
       concat_ws(",", cols.map(cell): _*).as("value"))
     val header = df.sparkSession.range(1).select(
-      lit(-1L).as("_k"), lit(cols.mkString(",")).as("value"))
+      lit(-1L).as("_k"), lit(cols.map(quoteLabel).mkString(",")).as("value"))
     header.unionByName(body).orderBy("_k").select("value")
   }
 

@@ -47,29 +47,45 @@ object Dedup {
       concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
   }
 
-  /** MinHash-LSH near-duplicate candidate pairs, verified by exact
-    * w-shingle Jaccard >= `jaccardFloor`.
+  /** MinHash-LSH near-duplicate pairs + block-split stats, verified by
+    * exact w-shingle Jaccard >= `jaccardFloor`.
     *
-    * shingle → minhash (bands*rows fns) → band bucket → capped in-bucket
-    * join → pair dedup → verify. Blocks are hard-capped at `blockCap`
-    * rows (drops are a recall bound for degenerate corpora, e.g. all-
-    * identical documents; size the cap to the expected duplicate-cluster
-    * size). The verify step reuses the shingle arrays carried through
-    * the join — CPU for shuffle width. */
-  def minhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
+    * Shuffle discipline (same as ERPipeline.scorePairs): the band self-
+    * join and pair dedup run on SLIM rows (block_key, id — 16 bytes);
+    * shingle arrays are re-attached by two id-joins only for the verify
+    * step, so document bodies never ride through the block shuffle.
+    * Oversized bands are SPLIT (grouped by exact shingle fingerprint, so
+    * exact-duplicate recall is preserved), never row-capped — no silent
+    * drops; the split stats table is returned alongside the pairs. */
+  def minhashPairsWithStats(docs: DataFrame, idCol: Column, textCol: Column,
       bands: Int, rowsPerBand: Int, jaccardFloor: Double,
-      blockCap: Int = 500): DataFrame = {
-    val base = docs.select(idCol.as("id"),
-      wordShingles(textCol).as("sh"))
+      blockCap: Int = 500): (DataFrame, DataFrame) = {
+    val base = docs.select(idCol.as("id"), wordShingles(textCol).as("sh"))
+      .withColumn("fp", Blocking.tokenFingerprint(col("sh")))
     val blocked = Blocking.minhashBlocks(
-      base.withColumn("tokens", col("sh")), col("tokens"),
-      bands, rowsPerBand)
-    val (capped, _) = Blocking.capBlocks(blocked, "block_key", "id", blockCap)
-    val pairs = Blocking.candidatePairs(capped, "block_key", "id", Seq("sh"))
-    pairs.select(col("l_id"), col("r_id"),
+      base.select(col("id"), col("fp"), col("sh").as("tokens")), col("tokens"),
+      bands, rowsPerBand).select("block_key", "id", "fp")
+    val (split, stats) =
+      Blocking.splitOversizedBlocks(blocked, "block_key", "fp", blockCap)
+    val idPairs = Blocking.candidatePairs(split, "block_key", "id", Nil)
+      .select(col("l_id"), col("r_id"))
+    val shingleSide = base.select(col("id"), col("sh"))
+    val pairs = idPairs
+      .join(shingleSide.toDF("l_id", "l_sh"), Seq("l_id"))
+      .join(shingleSide.toDF("r_id", "r_sh"), Seq("r_id"))
+    val verified = pairs.select(col("l_id"), col("r_id"),
         Similarity.jaccard(col("l_sh"), col("r_sh")).as("jaccard"))
       .where(col("jaccard") >= jaccardFloor)
+    (verified, stats)
   }
+
+  /** Pairs-only view of `minhashPairsWithStats` (splitting drops no rows,
+    * so discarding the stats table loses information, not data). */
+  def minhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      bands: Int, rowsPerBand: Int, jaccardFloor: Double,
+      blockCap: Int = 500): DataFrame =
+    minhashPairsWithStats(docs, idCol, textCol, bands, rowsPerBand,
+      jaccardFloor, blockCap)._1
 
   /** 64-bit SimHash over word tokens (JVM function; still a narrow map). */
   val simhashUdf = udf { (toks: Seq[String]) =>

@@ -57,13 +57,26 @@ object GraftFunctions {
       .otherwise(c)
   }
 
+  // ---------- F5+F6+F7: LLM-envelope JSON parsing -------------------------
+  /** Full envelope chain (Amazon/prompt.py:53-61): strip markdown code
+    * fences, slice the outermost `{...}` object, decode via `from_json`.
+    * Malformed payloads decode to a null struct (M3 fallback semantics —
+    * the reference catches json.JSONDecodeError and returns {}). */
+  def parseJsonEnvelope(c: Column, schema: DataType): Column =
+    from_json(jsonSlice(stripCodeFence(c)), schema)
+
   // ---------- F8: currency strip + 2dp float (Amazon/prompt.py:23-39) -----
   /** Returns DoubleType or null (null <=> the reference's "unknown"). */
   def priceParse(c: Column): Column = {
     val v = lower(trim(c))
-    val cleaned = regexp_replace(v, "[,$]", "")
+    // currency strip: commas/$ (Amazon/prompt.py:34) plus a leading "USD "
+    // word (iTunes/process.py:101 "Extract prices from ... USD 0.99").
+    val cleaned = regexp_replace(v, "^usd\\s*|[,$]", "")
+    // try_cast, not cast: Spark 4 runs ANSI mode by default, so a plain cast
+    // on dirty input ("free", "€5.99") throws CAST_INVALID_INPUT and kills
+    // the job; the reference coerces failures to "unknown" (prompt.py:33-39).
     when(v.isNull || v.isin("", "n/a", "na", "none", "null", "unknown"), lit(null))
-      .otherwise(round(cleaned.cast(DoubleType), 2))
+      .otherwise(round(cleaned.try_cast(DoubleType), 2))
   }
 
   /** Rendered form: float with two decimals or the literal "unknown". */

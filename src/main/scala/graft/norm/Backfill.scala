@@ -20,7 +20,7 @@ object Backfill {
 
   /** First mm:ss duration token, zero-padded. */
   def timeFromText(text: Column): Column = {
-    val m = regexp_extract(text, "\\b([0-9]{1,2}):([0-9]{2})\\b", 0)
+    val m = regexp_extract(text, "\\b([0-9]{1,2}):([0-9]{1,2})\\b", 0)
     when(m =!= "", timeNormalize(m)).otherwise(lit(null))
   }
 

@@ -19,14 +19,24 @@ import graft.functions.GraftFunctions._
  */
 object Enrichment {
 
-  /** Missing-value rendering per dataset ("unknown" vs "VAL -"). */
+  /** Missing-value rendering per dataset ("unknown" vs "VAL -").
+    * R14 knobs (all gated on `alignMatches` + label==1):
+    *  - `noCopy`: fields whose values must NEVER cross sides (prices —
+    *    Amazon/prompt.py:95 "NEVER invent prices. Do not copy a price").
+    *  - `versionAlign`: fields that receive the other side's version/
+    *    edition tokens when they have none (Amazon/prompt.py:90-93).
+    *  - `matchRules`: extra per-field cleanup applied ONLY to matched
+    *    pairs (the reference's aggressive prompt-A rules). */
   final case class DatasetConfig(
       name: String,
       fields: Seq[String],                    // closed output schema (per side)
       rules: Map[String, Column => Column],   // field → normalizer
       missing: String = "unknown",
       sources: Map[String, String] = Map.empty,    // field → input column (C3)
-      alignMatches: Boolean = false)
+      alignMatches: Boolean = false,
+      noCopy: Set[String] = Set("price", "Price"),
+      versionAlign: Set[String] = Set.empty,
+      matchRules: Map[String, Column => Column] = Map.empty)
 
   /** Generic text cleanup used for name-ish fields: strip artifacts,
     * collapse whitespace, dedupe repeated words (R2), Title Case (R1). */
@@ -52,17 +62,39 @@ object Enrichment {
         case None => lit(null).cast(StringType)
       }
     }
+    val matched = col("label") === 1
     val sideCols = cfg.fields.flatMap { f =>
       val rule = cfg.rules.getOrElse(f, (c: Column) => cleanText(c))
+      // label-gated extra cleanup (the reference's prompt-A aggressiveness)
+      def full(side: String): Column = {
+        val n = rule(nullMarkers(inputCol(side, f)))
+        cfg.matchRules.get(f) match {
+          case Some(mr) => when(matched, mr(n)).otherwise(n)
+          case None => n
+        }
+      }
       def out(side: String): Column = {
-        val raw = inputCol(side, f)
-        val normalized = rule(nullMarkers(raw))
-        val other = rule(nullMarkers(inputCol(if (side == "left") "right" else "left", f)))
+        val normalized = full(side)
+        val other = full(if (side == "left") "right" else "left")
         val aligned =
-          if (cfg.alignMatches)
-            when(col("label") === 1 && normalized.isNull, other)
-              .otherwise(normalized)
-          else normalized
+          if (!cfg.alignMatches) normalized
+          else {
+            // R14a: copy the other side's value when this side is missing
+            val copied =
+              if (cfg.noCopy(f)) normalized
+              else when(matched && normalized.isNull, other).otherwise(normalized)
+            // R14b: graft the other side's version/edition tokens when this
+            // side has none (no conflict possible) — matched pairs only
+            if (!cfg.versionAlign(f)) copied
+            else {
+              val vOther = Normalize.versionTokens(coalesce(other, lit("")))
+              when(matched && copied.isNotNull &&
+                  size(Normalize.versionTokens(copied)) === 0 &&
+                  size(vOther) > 0,
+                concat_ws(" ", copied, array_join(vOther, " ")))
+                .otherwise(copied)
+            }
+          }
         renderOr(aligned, cfg.missing).as(s"${side}_$f")
       }
       Seq(out("left"), out("right"))
@@ -79,9 +111,17 @@ object Enrichment {
     rules = Map(
       "title" -> (c => Normalize.stripVendorNoise(
         Normalize.expandAbbreviations(cleanText(c)))),
-      "manufacturer" -> (c => cleanEntityName(Normalize.dropCorpSuffixes(c))),
+      "manufacturer" -> (c => Normalize.brandCanon(c)), // R4 lookup table
       "price" -> (c => when(priceParse(c).isNull, lit(null))
         .otherwise(format_string("%.2f", priceParse(c))))))
+
+  /** Amazon with the reference's label-conditioned R14 alignment ON
+    * (Amazon/prompt.py:64-148): matched pairs get aggressive title cleanup
+    * + version-token grafting; prices never cross sides. */
+  val amazonAligned: DatasetConfig = amazon.copy(
+    alignMatches = true,
+    versionAlign = Set("title"),
+    matchRules = Map("title" -> (c => Normalize.alignedTitleCleanup(c))))
 
   /** Beer (Beer/prompt.py:10-21, 30-63; Beer/process.py:30-51, 86-116). */
   val beer = DatasetConfig(
@@ -162,7 +202,7 @@ object Enrichment {
     rules = Map(
       "title" -> (c => Normalize.stripVendorNoise(cleanText(c))),
       "category" -> (c => lower(wsCollapse(c))),
-      "brand" -> (c => cleanEntityName(Normalize.dropCorpSuffixes(c))),
+      "brand" -> (c => Normalize.brandCanon(c)), // R4: "Hewlett Packard"→"HP"
       // R6: model numbers upper-case, restricted charset A-Z0-9-._/
       "modelno" -> (c => nullif(
         regexp_replace(upper(trim(c)), "[^A-Z0-9\\-._/]", ""), lit(""))),
@@ -177,6 +217,28 @@ object Enrichment {
       "title" -> (c => Normalize.unitSpacing(
         Normalize.stripVendorNoise(Normalize.stripLangTags(cleanText(c)))))))
 
+  /** Walmart with R14 alignment ON (walmart/prompt.py:66-130): brand
+    * lookup already canonicalizes both sides; matched pairs additionally
+    * cross-copy missing values (never price). */
+  val walmartAligned: DatasetConfig = walmart.copy(alignMatches = true)
+
+  /** R4 as a broadcast dim join — the open-table twin of
+    * Normalize.brandCanon for user-supplied brand dictionaries that don't
+    * fit a CASE chain. The dim side is always broadcast (it is a brand
+    * dictionary: thousands of rows, not billions), so the fact table never
+    * shuffles. dim schema: (variant STRING lower-cased, canonical STRING). */
+  def canonicalizeBrandJoin(df: DataFrame, brandCol: String,
+      dim: DataFrame): DataFrame = {
+    val key = lower(trim(Normalize.dropCorpSuffixes(col(brandCol))))
+    df.withColumn("_brand_key", key)
+      .join(org.apache.spark.sql.functions.broadcast(
+        dim.toDF("_brand_key", "_canonical")), Seq("_brand_key"), "left")
+      .withColumn(brandCol, coalesce(col("_canonical"),
+        initcap(trim(Normalize.dropCorpSuffixes(col(brandCol))))))
+      .drop("_brand_key", "_canonical")
+  }
+
   val all: Seq[DatasetConfig] =
-    Seq(amazon, beer, dblacm, fodors, itunes, walmart, wdcTitle)
+    Seq(amazon, amazonAligned, beer, dblacm, fodors, itunes, walmart,
+      walmartAligned, wdcTitle)
 }

@@ -58,6 +58,68 @@ object Normalize {
   def dropCorpSuffixes(c: Column): Column =
     regexp_replace(c, "(?i)\\s+(inc|ltd|corp|corporation|llc|co)\\.?(\\s|$)", "$2")
 
+  /** R4 lookup table: brand variants → canonical short form
+    * (walmart/prompt.py:83 "Hewlett Packard"→"HP"; Beer/process.py:81-84
+    * "Google LLC"/"google inc."→"Google"; computer/single.py:57-58 brand
+    * list). Keys are matched on the lower-cased, suffix-dropped value. */
+  val brandTable: Seq[(String, String)] = Seq(
+    "hewlett packard" -> "HP", "hewlett-packard" -> "HP", "hp" -> "HP",
+    "hpe" -> "HP", "google" -> "Google", "adobe systems" -> "Adobe",
+    "adobe" -> "Adobe", "microsoft" -> "Microsoft", "intel" -> "Intel",
+    "advanced micro devices" -> "AMD", "amd" -> "AMD",
+    "western digital" -> "Western Digital", "wd" -> "Western Digital",
+    "international business machines" -> "IBM", "ibm" -> "IBM",
+    "samsung electronics" -> "Samsung", "samsung" -> "Samsung",
+    "sony electronics" -> "Sony", "sony" -> "Sony",
+    "asustek computer" -> "ASUS", "asus" -> "ASUS")
+
+  /** R4 as a pure expression (closed table → codegen'd CASE chain; the
+    * broadcast-join operator twin for open tables is
+    * Enrichment.canonicalizeBrandJoin). Falls back to Title Case of the
+    * suffix-dropped input for unknown brands. */
+  def brandCanon(c: Column): Column = {
+    val key = lower(trim(dropCorpSuffixes(c)))
+    brandTable.foldLeft(when(c.isNull, lit(null).cast("string"))) {
+      case (acc, (variant, canonical)) =>
+        acc.when(key === variant, lit(canonical))
+    }.otherwise(initcap(trim(dropCorpSuffixes(c))))
+  }
+
+  // ---------------- R14 matched-pair alignment helpers --------------------
+  // (Amazon/prompt.py:76-99 "ALIGNMENT & NORMALIZATION FOR MATCHED PAIRS")
+
+  /** Version/edition/license tokens to preserve and cross-copy
+    * (Amazon/prompt.py:90-93: CS3, XI, X3, 11.0, 7.3, 2007, Professional,
+    * Home, Standard, Upgrade, 3-User, Boxed). */
+  private val versionTokenRe =
+    "(?i)^(v?\\d+(\\.\\d+)*|cs\\d|x\\d{1,2}|xi{1,3}|(19|20)\\d\\d|" +
+      "professional|pro|home|standard|premium|deluxe|upgrade|oem|boxed|" +
+      "\\d+-user)$"
+
+  def versionTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t.rlike(versionTokenRe))
+
+  /** Matched-pair aggressive title cleanup (Amazon/prompt.py:77-85):
+    * delete alphanumeric SKU/catalog codes (≥6 chars with a 4-digit run,
+    * but never bare versions like "11.0"/"2007"), strip platform/media
+    * bracket tags, trim generic marketing trailers. */
+  def alignedTitleCleanup(c: Column): Column = {
+    val noSku = regexp_replace(c,
+      "(?i)\\b(?=[a-z]*\\d{4})(?=(?:[a-z0-9]*[a-z]){2})[a-z0-9]{6,}\\b", "")
+    val noBrackets = regexp_replace(regexp_replace(noSku,
+      "\\[[^\\]]*\\]", ""),
+      "(?i)\\((?:[^)]*\\b(?:win(?:dows)?\\s*[0-9/me]*|mac|dvd|cd(?:-rom)?|pc)\\b[^)]*)\\)", "")
+    val trailers = Seq(
+      "(?i)\\bfull version of .*$", "(?i)\\bproduction software\\b.*$",
+      "(?i)\\bsound editing s/?w\\b.*$",
+      "(?i)\\bphoto editing software for windows\\b.*$",
+      "(?i)\\bcomplete (package|product)\\b.*$",
+      "(?i)\\bstandard english pc\\b.*$")
+    val noTrailers = trailers.foldLeft(noBrackets)((acc, p) =>
+      regexp_replace(acc, p, ""))
+    wsCollapse(noTrailers)
+  }
+
   /** R11: venue canonicalization (DBLACM/prompt.py:59-64). */
   def venueCanon(c: Column): Column = {
     val t = trim(c)

@@ -55,6 +55,17 @@ object ERPipeline {
                                       // same entity spans hosts, so LSH is
                                       // the recall path; domain keys are an
                                       // optional extra family
+      /** Salt count for the domain-key family: a mega-host block (one
+        * domain with 10^8 pages) otherwise generates a quadratic pair
+        * blowup in a single task. Salting by id bounds each sub-block;
+        * cross-salt pairs within a domain are intentionally ceded to the
+        * LSH family (which keys on content, not host). */
+      domainSalts: Int = 16,
+      /** Record identity is xxhash64(url); 64-bit birthday collisions are
+        * statistically certain at 10^12 docs (silently merging entities).
+        * This guard costs one distinct-count aggregate — keep it on for
+        * validation runs, budget it consciously at full scale. */
+      checkIdCollisions: Boolean = true,
       maxCcIterations: Int = 50)
 
   /** Stage 1: canonical text per url (per-row invariant vs the reference
@@ -94,7 +105,10 @@ object ERPipeline {
     val base = lsh.unionByName(fp)
     if (!cfg.useDomainKeys) base
     else base.unionByName(extracted.withColumn("block_key",
-      xxhash64(Blocking.normalizedDomain(col("url"))))
+      // north_rule skew handling: salt the host key so one mega-host
+      // cannot form a single quadratic block (Blocking.saltKey)
+      xxhash64(Blocking.saltKey(
+        Blocking.normalizedDomain(col("url")), col("id"), cfg.domainSalts)))
       .select(lsh.columns.map(col): _*))
   }
 
@@ -147,32 +161,45 @@ object ERPipeline {
   }
 
   /** Stage 5: threshold → edges → connected components → (id, component). */
-  def cluster(spark: SparkSession, scored: DataFrame, cfg: Config): DataFrame = {
+  def cluster(spark: SparkSession, scored: DataFrame, cfg: Config,
+      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val edges = scored.where(col("score") >= cfg.scoreThreshold)
       .select(col("l_id").as("src"), col("r_id").as("dst"))
-    ConnectedComponents.run(spark, edges, cfg.maxCcIterations)
+    ConnectedComponents.run(spark, edges, cfg.maxCcIterations, persist)
   }
 
   /** Full run: returns (clusters(url, id, component), capDrops). Pages with
-    * no edge above threshold form singleton clusters (component = own id). */
+    * no edge above threshold form singleton clusters (component = own id).
+    *
+    * @param persist stage materializer. Default `localCheckpoint` (fast,
+    *   memory-pinned) suits tests/benchmarks; production (PipelineApp)
+    *   passes reliable `checkpoint()` — and additionally snapshots whole
+    *   stages through graft.io.Snapshots for cross-JVM resume. */
   def run(spark: SparkSession, pages: DataFrame,
-      cfg: Config = Config()): (DataFrame, DataFrame) = {
+      cfg: Config = Config(),
+      persist: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame) = {
     // extract feeds blocking, payload attachment and the final assignment
-    // join — materialize once (production: a stage snapshot instead)
-    val ex = extract(pages).localCheckpoint()
+    // join — materialize once
+    val ex = persist(extract(pages))
     val n = Some(ex.count())
+    if (cfg.checkIdCollisions) {
+      val r = ex.agg(countDistinct(col("url")), countDistinct(col("id")))
+        .collect()(0)
+      require(r.getLong(0) == r.getLong(1),
+        s"xxhash64(url) id collision: ${r.getLong(0)} urls → ${r.getLong(1)} ids; " +
+          "switch to a wider id before trusting cluster output")
+    }
     val blocked = block(ex, cfg, n)
     val (scored, drops) = scorePairs(ex, blocked, cfg, n)
-    val comps = cluster(spark, scored, cfg)
+    val comps = cluster(spark, scored, cfg, persist)
     // Materialize the assignment (one narrow row per url): downstream
     // consumers (evaluation joins, metrics) would otherwise re-execute the
-    // whole pipeline per action. At production scale this is the stage
-    // snapshot (graft.io.Snapshots.commit) instead of a localCheckpoint.
-    val assign = ex.select(col("url"), col("id"))
+    // whole pipeline per action.
+    val assign = persist(ex.select(col("url"), col("id"))
       .join(comps, Seq("id"), "left")
       .select(col("url"), col("id"),
-        coalesce(col("component"), col("id")).as("component"))
-      .localCheckpoint()
+        coalesce(col("component"), col("id")).as("component")))
     (assign, drops)
   }
 

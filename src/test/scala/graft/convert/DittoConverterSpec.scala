@@ -45,7 +45,8 @@ class DittoConverterSpec extends SparkSuite {
       DittoConverter.Config(robust = true))
     val csv = DittoConverter.referenceCsvLines(df)
       .collect().map(_.getString(0)).toSeq
-    assert(csv.head === "id,label,left_title,right_title")
+    // pandas QUOTE_NONNUMERIC quotes header labels (they are strings):
+    assert(csv.head === "\"id\",\"label\",\"left_title\",\"right_title\"")
     assert(csv(1) === "0,1,\"A \"\"quoted\"\" value\",\"B\"")
   }
 }

@@ -17,7 +17,7 @@ class EnrichmentSpec extends SparkSuite {
     val out = Enrichment.enrich(df, Enrichment.amazon).collect()
     assert(out(0).getAs[String]("left_price") === "1299.00")
     assert(out(0).getAs[String]("right_price") === "unknown")
-    assert(out(0).getAs[String]("left_manufacturer") === "Adobe Systems")
+    assert(out(0).getAs[String]("left_manufacturer") === "Adobe") // R4 table
     assert(out(0).getAs[String]("left_title") === "Adobe Photoshop Creative Suite 3")
     assert(out(1).getAs[String]("left_price") === "12.50")
     assert(out(1).getAs[String]("right_manufacturer") === "unknown")
@@ -108,6 +108,7 @@ class EnrichmentSpec extends SparkSuite {
         "left_modelno", "left_price", "right_title", "right_category",
         "right_brand", "right_modelno", "right_price")
     val out = Enrichment.enrich(df, Enrichment.walmart).collect()(0)
+    assert(out.getAs[String]("left_brand") === "HP") // R4: Hewlett Packard→HP
     assert(out.getAs[String]("left_modelno") === "DV6-3225DX")
     assert(out.getAs[String]("right_modelno") === "I15R-2646MRB")
     assert(out.getAs[String]("left_price") === "599.00")
@@ -135,8 +136,62 @@ class EnrichmentSpec extends SparkSuite {
     assert(plain(0).getAs[String]("right_price") === "unknown")
     val aligned = Enrichment.enrich(df,
       Enrichment.amazon.copy(alignMatches = true)).collect()
-    assert(aligned(0).getAs[String]("right_price") === "9.99")   // copied
-    assert(aligned(0).getAs[String]("right_manufacturer") === "Adobe")
+    // prices NEVER cross sides (Amazon/prompt.py:95), even when aligned
+    assert(aligned(0).getAs[String]("right_price") === "unknown")
+    assert(aligned(0).getAs[String]("right_manufacturer") === "Adobe") // copied
     assert(aligned(1).getAs[String]("right_price") === "unknown") // label=0
+  }
+
+  test("R14: version tokens graft onto the versionless side (matched only)") {
+    val df = Seq(
+      (0, 1, "Adobe Acrobat XI Professional", "Adobe", "n/a",
+        "Adobe Acrobat", "Adobe", "n/a"),
+      (1, 0, "Adobe Acrobat XI Professional", "Adobe", "n/a",
+        "Adobe Acrobat", "Adobe", "n/a"),
+      (2, 1, "Office 2007", "Microsoft", "n/a",
+        "Office 2003", "Microsoft", "n/a"))
+      .toDF("id", "label", "left_title", "left_manufacturer", "left_price",
+        "right_title", "right_manufacturer", "right_price")
+    val out = Enrichment.enrich(df, Enrichment.amazonAligned)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // matched + right has no version token -> "XI Professional" grafted
+    assert(out(0).getAs[String]("right_title")
+      === "Adobe Acrobat XI Professional")
+    // non-match: no grafting
+    assert(out(1).getAs[String]("right_title") === "Adobe Acrobat")
+    // conflicting versions on both sides: untouched
+    assert(out(2).getAs[String]("left_title") === "Office 2007")
+    assert(out(2).getAs[String]("right_title") === "Office 2003")
+  }
+
+  test("R14: matched-pair aggressive cleanup (SKU, platform tags, trailers)") {
+    val df = Seq(
+      (0, 1, "Quicken Deluxe 19600061dm [Mac] Complete Package", "Intuit", "n/a",
+        "Quicken Deluxe", "Intuit", "n/a"),
+      (1, 0, "Quicken Deluxe 19600061dm [Mac] Complete Package", "Intuit", "n/a",
+        "Quicken Deluxe", "Intuit", "n/a"))
+      .toDF("id", "label", "left_title", "left_manufacturer", "left_price",
+        "right_title", "right_manufacturer", "right_price")
+    val out = Enrichment.enrich(df, Enrichment.amazonAligned)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[String]("left_title") === "Quicken Deluxe")
+    // label=0 keeps SKUs and platform tags (prompt-B semantics)
+    assert(out(1).getAs[String]("left_title")
+      === "Quicken Deluxe 19600061dm [Mac] Complete Package")
+  }
+
+  test("R4: brand canonicalization via broadcast dim join") {
+    val df = Seq((0, "hewlett packard corp"), (1, "Google LLC"), (2, "NoName"))
+      .toDF("id", "brand")
+    val dim = Seq(("hewlett packard", "HP"), ("google", "Google"))
+      .toDF("variant", "canonical")
+    val out = Enrichment.canonicalizeBrandJoin(df, "brand", dim)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("brand") === "HP")
+    assert(out(1).getAs[String]("brand") === "Google")
+    assert(out(2).getAs[String]("brand") === "Noname") // fallback Title Case
+    val plan = Enrichment.canonicalizeBrandJoin(df, "brand", dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
