@@ -208,9 +208,12 @@ object SparkEntry {
         .join(pages.toDF("right_url", "r_text"), Seq("right_url"))
         .select($"left_url", $"right_url", concat_ws("\t", $"l_text",
           $"r_text", $"label".cast(StringType)).as("value"))
-      val subset = graft.ops.Ids
-        .denseIdByOrder(linesAll, Seq($"left_url", $"right_url"), "ord")
-        .where($"ord" < 500).select($"ord", $"value")
+      // deterministic ~500-line subset + total order, all hash-derived —
+      // one narrow job, no window, no driver round-trips
+      val subset = linesAll
+        .withColumn("ord", xxhash64($"left_url", $"right_url"))
+        .where(pmod(abs($"ord"), lit(1000)) < 280)
+        .select($"ord", $"value")
       val staged = stageAndRead(s, "convert_lines", subset)
       graft.convert.DittoConverter.convertLines(s, staged,
         graft.convert.DittoConverter.Config(robust = true,
@@ -225,9 +228,11 @@ object SparkEntry {
       val wide = pairs
         .join(pages.toDF("left_url", "left_title"), Seq("left_url"))
         .join(pages.toDF("right_url", "right_title"), Seq("right_url"))
-      val subset = graft.ops.Ids
-        .denseIdByOrder(wide, Seq($"left_url", $"right_url"), "id")
-        .where($"id" < 500)
+      // unique hash id + hash-derived ~500-row subset (id needs to be
+      // deterministic and unique, not dense — enrichment passes it through)
+      val subset = wide
+        .withColumn("id", xxhash64($"left_url", $"right_url"))
+        .where(pmod(abs($"id"), lit(1000)) < 280)
         .select($"id", $"label", $"left_title", $"right_title")
       val staged = stageAndRead(s, "enrich_input", subset)
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.wdcTitle)

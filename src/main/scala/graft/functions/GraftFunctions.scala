@@ -172,11 +172,15 @@ object GraftFunctions {
     filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
       t => t =!= "")
 
-  /** Character n-gram shingles of the lowercased, ws-normalized string. */
+  /** Character n-gram shingles of the lowercased, ws-normalized string.
+    * The normalized string is bound once via a lambda variable so the
+    * regex chain isn't re-evaluated per shingle (see Dedup.wordShingles). */
   def charShingles(c: Column, n: Int): Column = {
-    val s = regexp_replace(lower(c), "\\s+", " ")
-    val count = greatest(length(s) - lit(n - 1), lit(0))
-    array_distinct(transform(sequence(lit(1), count), i => s.substr(i, lit(n))))
+    val sh = transform(array(regexp_replace(lower(c), "\\s+", " ")), s => {
+      val count = greatest(length(s) - lit(n - 1), lit(0))
+      transform(sequence(lit(1), count), i => s.substr(i, lit(n)))
+    })
+    array_distinct(element_at(sh, 1))
   }
 
   /** Register SQL-callable names for the UDF surface. */

@@ -57,7 +57,9 @@ object Ids {
     * (range exchange + pid-hash for the window), both full-width parallel. */
   def denseIdByOrder(df: DataFrame, sortCols: Seq[Column], idCol: String)
       : DataFrame = {
-    val ranged = df.repartitionByRange(sortCols: _*)
+    // Cache the input: the range partitioner's sample pass, the counts job
+    // and the final job would otherwise re-run the upstream plan 3×.
+    val ranged = df.cache().repartitionByRange(sortCols: _*)
       .withColumn("_pid", spark_partition_id().cast("long"))
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
