@@ -81,10 +81,14 @@ object ScaleBench {
     spark
   }
 
-  /** One full measured execution; returns (pairs, clusters, tScore, tCluster). */
+  /** One full measured execution; returns (pairs, clusters, tScore, tCluster).
+    * Uses the AT-SCALE config: payload broadcast disabled (a 10^12-doc
+    * corpus never broadcasts; the shuffle-join path is both the honest
+    * target topology and the parallel one — broadcast builds serialize on
+    * the driver and cap scaling per Amdahl). */
   private def runOnce(spark: SparkSession, nEntities: Long)
       : (Long, Long, Double, Double) = {
-    val cfg = graft.pipeline.ERPipeline.Config()
+    val cfg = graft.pipeline.ERPipeline.Config(payloadBroadcastMaxRows = 0L)
     val pages = graft.gen.PageGen.pages(spark, nEntities, seed = 42L)
       .localCheckpoint()
     pages.count()
@@ -134,7 +138,12 @@ object ScaleBench {
       val sLo = best(lo)._3 + best(lo)._4
       val sHi = best(hi)._3 + best(hi)._4
       val eff = (sLo / sHi) / (hi.toDouble / lo)
-      println(f"""{"scaling":{"n_cpus":$lo,"xn_cpus":$hi,"total_sec_n":$sLo%.2f,"total_sec_xn":$sHi%.2f,"speedup":${sLo / sHi}%.2f,"efficiency":$eff%.2f}}""")
+      // candidate-pairs/sec efficiency on the scoring stage (the metric
+      // BASELINE.json names) alongside end-to-end efficiency
+      val thrLo = best(lo)._1 / best(lo)._3
+      val thrHi = best(hi)._1 / best(hi)._3
+      val effScore = (thrHi / thrLo) / (hi.toDouble / lo)
+      println(f"""{"scaling":{"n_cpus":$lo,"xn_cpus":$hi,"total_sec_n":$sLo%.2f,"total_sec_xn":$sHi%.2f,"speedup":${sLo / sHi}%.2f,"efficiency":$eff%.2f,"pairs_per_sec_n":$thrLo%.0f,"pairs_per_sec_xn":$thrHi%.0f,"score_efficiency":$effScore%.2f}}""")
     }
   }
 }

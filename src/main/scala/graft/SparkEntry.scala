@@ -237,6 +237,25 @@ object SparkEntry {
       val staged = stageAndRead(s, "enrich_input", subset)
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.wdcTitle)
     }),
+    "multimodal_features" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // binary media plumbing end-to-end: staged BLOB parquet → typed
+      // Dataset → partition-batched feature extraction (stub decode) →
+      // oracle-checkable metadata projection. The mapPartitions stage runs
+      // for real (it is opaque to pruning); the histogram features are
+      // asserted in MultimodalSpec, the byte metadata here.
+      val media = stageAndRead(s, "mm_media",
+        PageGen.pages(s, 200, seed = 9L)
+          .select(xxhash64($"url").as("media_id"), $"html".as("payload")))
+      val rows = media
+        .withColumn("meta", struct(
+          lit("image").as("kind"), lit(640).as("width"), lit(480).as("height"),
+          lit(0).as("sampleRateHz"), lit(0L).as("durationMs")))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      val feats = graft.multimodal.Multimodal.extractFeatures(rows, dim = 64)
+      feats.join(media.select($"media_id", md5($"payload").as("payload_md5")),
+          Seq("media_id"))
+        .select($"media_id", $"kind", $"n_bytes", $"payload_md5")
+    }),
     "er_similarity" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // similarity measures over part names. The pair predicate
       // (p+q) % 97 == 0 is expressed as an EQUI-join on residues —
@@ -446,6 +465,11 @@ object SparkEntry {
     "er_clusters" ->
       s"""SELECT url, min(id) OVER (PARTITION BY entity_id) AS component
          |FROM ${stagePath("er_truth")}""".stripMargin,
+    "multimodal_features" ->
+      s"""SELECT media_id, 'image' AS kind,
+         |  octet_length(payload) AS n_bytes,
+         |  md5(decode(payload)) AS payload_md5
+         |FROM ${stagePath("mm_media")}""".stripMargin,
     "er_f1" ->
       s"""WITH cl AS (SELECT * FROM ${stagePath("er_f1_clusters")}),
          |lp AS (SELECT * FROM ${stagePath("er_f1_pairs")}),

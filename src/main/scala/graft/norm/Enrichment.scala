@@ -222,6 +222,27 @@ object Enrichment {
     * cross-copy missing values (never price). */
   val walmartAligned: DatasetConfig = walmart.copy(alignMatches = true)
 
+  /** P5: wide pair row → per-side record structs — the reference's
+    * record-splitting step that feeds each side's payload into the
+    * normalizer (Amazon/prompt.py:171-186 left_record/right_record). */
+  def splitRecord(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.select(col("id"), col("label"),
+      struct(fields.map(f => col(s"left_$f").as(f)): _*).as("left_record"),
+      struct(fields.map(f => col(s"right_$f").as(f)): _*).as("right_record"))
+
+  /** P6 inverse: record structs back to the wide layout. */
+  def unsplitRecord(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.select(col("id") +: col("label") +: fields.flatMap(f => Seq(
+      col(s"left_record.$f").as(s"left_$f"),
+      col(s"right_record.$f").as(s"right_$f"))): _*)
+
+  /** F12: generic type-enforcing projection — every listed column cast to
+    * string with null → "" (the reference's `str(x or "")` loop,
+    * Amazon/prompt.py:44-52). */
+  def enforceStrings(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, coalesce(col(c).cast(StringType), lit(""))))
+
   /** R4 as a broadcast dim join — the open-table twin of
     * Normalize.brandCanon for user-supplied brand dictionaries that don't
     * fit a CASE chain. The dim side is always broadcast (it is a brand

@@ -180,6 +180,24 @@ class EnrichmentSpec extends SparkSuite {
       === "Quicken Deluxe 19600061dm [Mac] Complete Package")
   }
 
+  test("P5/P6: wide row splits to record structs and back; F12 enforces strings") {
+    val df = Seq((0, 1, "A", "B", null.asInstanceOf[String], "D"))
+      .toDF("id", "label", "left_title", "right_title", "left_brand", "right_brand")
+    val rec = Enrichment.splitRecord(df, Seq("title", "brand"))
+    assert(rec.columns.toSeq === Seq("id", "label", "left_record", "right_record"))
+    val r0 = rec.collect()(0)
+    assert(r0.getStruct(2).getAs[String]("title") === "A")
+    assert(r0.getStruct(3).getAs[String]("brand") === "D")
+    val back = Enrichment.unsplitRecord(rec, Seq("title", "brand"))
+    assert(back.columns.toSeq ===
+      Seq("id", "label", "left_title", "right_title", "left_brand", "right_brand"))
+    assert(back.collect()(0).getAs[String]("left_brand") === null)
+    val enforced = Enrichment.enforceStrings(back, Seq("left_brand", "id"))
+    val e0 = enforced.collect()(0)
+    assert(e0.getAs[String]("left_brand") === "")   // str(x or "")
+    assert(e0.getAs[String]("id") === "0")
+  }
+
   test("R4: brand canonicalization via broadcast dim join") {
     val df = Seq((0, "hewlett packard corp"), (1, "Google LLC"), (2, "NoName"))
       .toDF("id", "brand")
