@@ -151,8 +151,12 @@ object SparkEntry {
         TextAnalysis.langGuessSql($"text").as("lang_guess"))
     }),
     "doc_fingerprint" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // 60-bit content fingerprint from md5 — cross-engine checkable
+      // (the rolling-hash fingerprint64 stays the library primitive for
+      // windowed/winnowing use; unit-tested in TextAnalysisSpec)
       t(dir, "documents").select($"doc_id",
-        TextAnalysis.fingerprint64($"text").as("fingerprint"))
+        conv(substring(md5($"text"), 1, 15), 16, 10)
+          .cast(LongType).as("fingerprint"))
     }),
     "doc_minhash_neardup" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Dedup.minhashPairs(t(dir, "documents"), $"doc_id", $"text",
@@ -415,6 +419,45 @@ object SparkEntry {
         | ELSE 'unknown' END AS lang_guess
         |FROM documents""".stripMargin,
 
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+        |FROM documents""".stripMargin,
+    // FNV-1a-64 per token (UBIGINT xor + HUGEINT modular multiply), then
+    // per-bit majority votes — replicates Dedup.simhashUdf exactly
+    // (validated 0 mismatches over the sf0.01 corpus before landing).
+    "doc_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |      x -> x <> '') toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS t FROM d
+        |), th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        [CAST(unicode(ch) AS UBIGINT) for ch in regexp_split_to_array(t, '')]),
+        |      (acc, x) -> CAST(CAST((CAST(xor(acc, x) AS HUGEINT) * 1099511628211)
+        |        % 18446744073709551616 AS HUGEINT) AS UBIGINT)) AS h
+        |  FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, (SELECT unnest(range(64)) AS b) b
+        |  GROUP BY doc_id, b.b
+        |), agg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS u
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+        |    THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT), 0)
+        |    AS simhash
+        |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     // LSH candidate generation is pruning, not semantics: on the sf0.01
     // corpus the deterministic band family has verified recall 1.0, so the
     // exhaustive O(n²) shingle-Jaccard set IS the expected output (checked

@@ -96,4 +96,58 @@ object TextAnalysis {
     }
     f(c)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003): Rabin-Karp rolling hashes of every k-gram, then the minimum
+    * hash of each sliding window of `w` consecutive k-grams (rightmost
+    * min on ties), deduplicated. Guarantees: any shared substring of
+    * length >= w + k - 1 contributes at least one shared fingerprint —
+    * the standard containment/near-dup primitive for web-scale text.
+    * Narrow per-row JVM function; output is a small Array[Long] per doc
+    * suitable for explode + groupBy postings-list joins. */
+  def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4): Column = {
+    val f = udf { (s0: String) =>
+      if (s0 == null) Array.empty[Long]
+      else {
+        val s = s0.toLowerCase(java.util.Locale.ROOT)
+        val n = s.length - k + 1
+        if (n <= 0) Array.empty[Long]
+        else {
+          // rolling k-gram hashes, base 31 (no mod: 64-bit wraparound)
+          var pow = 1L
+          var j = 1
+          while (j < k) { pow *= 31L; j += 1 }
+          val hs = new Array[Long](n)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = 31 * h + s.charAt(i); i += 1 }
+          hs(0) = h
+          i = 1
+          while (i < n) {
+            h = (h - s.charAt(i - 1) * pow) * 31 + s.charAt(i + k - 1)
+            hs(i) = h
+            i += 1
+          }
+          if (n <= w) Array(hs.min)
+          else {
+            val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+            var start = 0
+            while (start + w <= n) {
+              var mi = start
+              var p = start + 1
+              while (p < start + w) {        // rightmost minimum
+                if (hs(p) <= hs(mi)) mi = p
+                p += 1
+              }
+              out += hs(mi)
+              start += 1
+            }
+            out.toArray
+          }
+        }
+      }
+    }
+    f(c)
+  }
 }

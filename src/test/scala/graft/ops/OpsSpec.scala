@@ -124,6 +124,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2L) === "nl")
   }
 
+  test("winnowing: shared long substrings share fingerprints; disjoint texts don't") {
+    val common = "the quick brown fox jumps over the lazy dog near the river"
+    val a = "PREFIX A " + common + " SUFFIX ALPHA"
+    val b = "OTHER START " + common + " DIFFERENT END"
+    val c = "completely unrelated content about catalyst optimizer internals"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val fps = df.select($"id",
+        TextAnalysis.winnowFingerprints($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: substrings >= w+k-1 chars shared => overlap
+    assert((fps(1L) intersect fps(2L)).size >= 5,
+      s"expected shared fingerprints, got ${(fps(1L) intersect fps(2L)).size}")
+    // overlap ratio with unrelated text stays low
+    val noise = (fps(1L) intersect fps(3L)).size.toDouble / fps(1L).size
+    assert(noise < 0.1, s"noise overlap $noise")
+    // deterministic across partitionings
+    val fps2 = df.repartition(3).select($"id",
+        TextAnalysis.winnowFingerprints($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps2 === fps)
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.fingerprint64($"text").as("f"))
