@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators for continuous ingestion (the reference
+ * is batch-only; these are the rebuild's streaming twins of the batch
+ * pipeline — SURVEY.md §2.9):
+ *
+ *  - watermarked event-time windowed aggregation (the batch
+ *    `q9_events_daily` as an incremental query)
+ *  - streaming exact dedup (watermark + dropDuplicates — state is
+ *    bounded by the watermark horizon, not corpus size)
+ *  - custom keyed state via flatMapGroupsWithState: incremental
+ *    per-entity profiles for ER ingestion (count, first/last seen,
+ *    token-set fingerprint of the latest title)
+ *
+ * Scale notes: every operator keys its state on a bounded-cardinality
+ * column and carries ids/hashes, not payloads; state stores stay
+ * proportional to ACTIVE keys within the watermark, which is the only
+ * sustainable shape at a 10^12-event design point.
+ */
+object Streaming {
+
+  /** Event-time daily aggregation with a late-data watermark. `events`
+    * must be a streaming DataFrame with (ts TIMESTAMP, event_type, value).
+    * TIMESTAMP_NTZ parquet sources must cast ts first (Spark watermarks
+    * need LTZ timestamps). */
+  def dailyEventAgg(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Streaming exact dedup on a key expression: keeps the first arrival
+    * per key; state for a key is dropped once the watermark passes it. */
+  def streamingDedup(docs: DataFrame, tsCol: String, keyCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, lateness)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Incremental per-entity ingestion profile (ER streaming state). */
+  case class PageEvent(entity_key: Long, url: String, title: String,
+      ts: java.sql.Timestamp)
+  case class EntityProfile(entity_key: Long, n_pages: Long,
+      first_seen: java.sql.Timestamp, last_seen: java.sql.Timestamp,
+      latest_title: String, title_fp: Long)
+
+  /** flatMapGroupsWithState updater: emits the refreshed profile on every
+    * batch that touches the key. State: one small row per active entity. */
+  def entityProfiles(pages: Dataset[PageEvent]): Dataset[EntityProfile] = {
+    import pages.sparkSession.implicits._
+    pages.groupByKey(_.entity_key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(updateProfile)
+  }
+
+  private[streaming] def updateProfile(key: Long, events: Iterator[PageEvent],
+      state: GroupState[EntityProfile]): Iterator[EntityProfile] = {
+    val evs = events.toSeq.sortBy(_.ts.getTime)
+    if (evs.isEmpty) Iterator.empty
+    else {
+      val prev = state.getOption
+      val latest = evs.last
+      val fp = {
+        // order-insensitive token-set fingerprint (FNV-1a over sorted toks)
+        val toks = latest.title.toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).distinct.sorted
+        var h = -3750763034362895579L
+        toks.foreach { t =>
+          var i = 0
+          while (i < t.length) { h ^= t.charAt(i); h *= 1099511628211L; i += 1 }
+          h ^= ' '; h *= 1099511628211L
+        }
+        h
+      }
+      val next = EntityProfile(
+        entity_key = key,
+        n_pages = prev.map(_.n_pages).getOrElse(0L) + evs.size,
+        first_seen = prev.map(_.first_seen).getOrElse(evs.head.ts),
+        last_seen = latest.ts,
+        latest_title = latest.title,
+        title_fp = fp)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+}
