@@ -68,7 +68,14 @@ object Similarity {
 
   val jaroWinklerUdf = udf(jaroWinkler _)
 
-  def jaro_winkler(a: Column, b: Column): Column = jaroWinklerUdf(a, b)
+  /** Column surface backed by the NATIVE Catalyst expression
+    * (JaroWinklerExpr, codegen'd) — the UDF remains only as the
+    * registration/parity reference. */
+  def jaro_winkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(JaroWinklerExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Levenshtein similarity ratio: 1 - dist/maxLen (built-in distance). */
   def levenshteinRatio(a: Column, b: Column): Column = {
@@ -102,6 +109,12 @@ object Similarity {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("jaro_winkler", jaroWinklerUdf)
+    // SQL name bound to the native expression (not the UDF) so
+    // `SELECT jaro_winkler(a, b)` codegens too.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinklerExpr(children(0), children(1)),
+      "scala_udf")
   }
 }
