@@ -55,6 +55,94 @@ object Ann {
     typedLit((0 until dim).map(j =>
       if ((mix64(bit.toLong * 1000003L + j) & 1L) == 0L) 1.0d else -1.0d).toArray)
 
+  // ---------------- IVF (inverted-file) ANN --------------------------------
+
+  /** Deterministic coarse quantizer: `nlist` seed centroids taken from the
+    * lowest vec_ids, refined by one Lloyd iteration (element-wise mean of
+    * assigned vectors). Returns the centroid matrix (small: nlist × dim,
+    * driver-resident by design — it IS the broadcastable model). */
+  def trainIvfCentroids(emb: DataFrame, nlist: Int): Array[Array[Double]] = {
+    val seeds = emb.orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestList(col("embedding"), seeds).as("list_id"))
+    // element-wise mean per list: posexplode → (list, pos) avg — one
+    // shuffle of (nlist × dim) cells, independent of corpus size
+    val means = assigned
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .collect()
+    val dim = seeds.head.length
+    val out = seeds.map(_.clone())
+    means.foreach { r =>
+      out(r.getAs[Int]("list_id"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+    }
+    out
+  }
+
+  /** Nearest-centroid assignment as a compact per-row JVM function over
+    * the broadcast centroid matrix (nlist × dim multiply-adds per row;
+    * a per-centroid expression tree would blow up plan size the same way
+    * the MinHash expression family did — see Blocking.bandKeysUdf). */
+  def nearestList(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val f = udf { (v: Seq[Float]) =>
+      var best = 0; var bestDot = Double.MinValue
+      var l = 0
+      while (l < centroids.length) {
+        val c = centroids(l)
+        var dot = 0.0; var i = 0
+        val n = math.min(c.length, v.length)
+        while (i < n) { dot += c(i) * v(i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = l }
+        l += 1
+      }
+      best
+    }
+    f(emb)
+  }
+
+  /** IVF top-k: corpus bucketed by nearest centroid; each query probes its
+    * `nprobe` closest lists only, so the scan is an EQUI-join on list_id
+    * (shuffle on a small int key) instead of a full cross join — the
+    * classic inverted-file ANN topology that scales to billions of
+    * vectors. Exact cosine re-ranking inside the probed lists. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cents = trainIvfCentroids(emb, nlist)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      nearestList(col("embedding"), cents).as("list_id"))
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .collect()
+    // per-query probe lists computed on the driver (queries are few by
+    // contract; the corpus-side work is the distributed part)
+    val probeRows = queries.flatMap { r =>
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val byDot = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(q).map { case (a, b) => a * b }.sum, i)
+      }.sortBy(-_._1).take(nprobe).map(_._2)
+      byDot.map(list => (r.getLong(0), list))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probes = probeRows.toSeq.toDF("query_id", "list_id")
+    val qdf = queries.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.toDF("query_id", "q_emb")
+    val candidates = corpus
+      .join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign-bits of dot products
     * with deterministic ±1 hyperplanes baked in as literals — per-row work
     * is exactly bits×dim multiply-adds, fully codegen'd, no stored model. */

@@ -43,6 +43,21 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall (${found.size}/${truth.size})")
   }
 
+  test("IVF top-k: high recall vs brute force; full-probe equals exact") {
+    val emb = fixture(40, 32)
+    val truth = Ann.bruteForceTopK(emb, nQueries = 6, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // probing every list must reproduce brute force exactly
+    val full = Ann.ivfTopK(emb, nQueries = 6, k = 3, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === truth)
+    // partial probes: approximate but high-recall on this fixture
+    val part = Ann.ivfTopK(emb, nQueries = 6, k = 3, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (part intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.7, s"ivf recall $recall")
+  }
+
   test("signature is deterministic across partitionings") {
     val emb = fixture(20, 16)
     def sigs(parts: Int) = Ann.rhpSignature($"embedding", 10, 16)
