@@ -18,7 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
-      (children: Seq[Expression]) =>
-        JaroWinklerExpr(children.head, children(1))))
+      (children: Seq[Expression]) => JaroWinklerExpr.build(children)))
   }
 }

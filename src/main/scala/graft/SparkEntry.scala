@@ -489,7 +489,7 @@ object SparkEntry {
          |ok AS (SELECT ord, parts[1] l, parts[2] r, trim(parts[3]) lab
          |       FROM p WHERE len(parts) = 3
          |         AND regexp_matches(trim(parts[3]), '^[-+]?[0-9]+$$')),
-         |w AS (SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS INT) AS id,
+         |w AS (SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS BIGINT) AS id,
          |             CAST(lab AS INT) AS label, l, r FROM ok)
          |SELECT id, label, $lt AS left_title, $rt AS right_title,
          |       $lb AS left_brand, $rb AS right_brand FROM w""".stripMargin

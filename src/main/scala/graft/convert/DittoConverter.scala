@@ -52,7 +52,12 @@ object DittoConverter {
       .where(size($"parts") === 3)
       .withColumn("left_map", parseUdf(element_at($"parts", 1)))
       .withColumn("right_map", parseUdf(element_at($"parts", 2)))
-      .cache()
+      // materialize the parsed frame once for the two downstream jobs
+      // (field-union collect + final projection); localCheckpoint instead
+      // of cache() so the storage blocks are ContextCleaner-released when
+      // the result is dropped — no CacheManager entry leaks across the
+      // repeated convert runs of a long-lived session
+      .localCheckpoint()
 
     // C1/A1: two-pass schema inference — union of keys from both sides.
     // Computed BEFORE the label filter: the reference's first pass unions

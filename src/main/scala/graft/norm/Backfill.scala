@@ -18,9 +18,13 @@ object Backfill {
     when(m =!= "", concat(lit("USD "), m)).otherwise(lit(null))
   }
 
-  /** First mm:ss duration token, zero-padded. */
+  /** First mm:ss duration token, zero-padded. Seconds must be two digits
+    * (every reference duration is — iTunes prompt examples 3:29, 4:02,
+    * 05:30): a {1,2} seconds group would also match aspect ratios like
+    * "16:9" and back-fill bogus durations. Single-digit MINUTES are fine
+    * ("3:05"); timeNormalize pads them. */
   def timeFromText(text: Column): Column = {
-    val m = regexp_extract(text, "\\b([0-9]{1,2}):([0-9]{1,2})\\b", 0)
+    val m = regexp_extract(text, "\\b([0-9]{1,2}):([0-9]{2})\\b", 0)
     when(m =!= "", timeNormalize(m)).otherwise(lit(null))
   }
 

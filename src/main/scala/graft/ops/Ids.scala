@@ -46,7 +46,7 @@ object Ids {
     val offCol = offsetCol(offsets)
     val w = Window.partitionBy(col("_pid")).orderBy(col(ordCol))
     withPid
-      .withColumn(idCol, (offCol + row_number().over(w) - 1).cast("int"))
+      .withColumn(idCol, (offCol + row_number().over(w) - 1).cast("long"))
       .drop("_pid")
   }
 
@@ -57,9 +57,13 @@ object Ids {
     * (range exchange + pid-hash for the window), both full-width parallel. */
   def denseIdByOrder(df: DataFrame, sortCols: Seq[Column], idCol: String)
       : DataFrame = {
-    // Cache the input: the range partitioner's sample pass, the counts job
-    // and the final job would otherwise re-run the upstream plan 3×.
-    val ranged = df.cache().repartitionByRange(sortCols: _*)
+    // Materialize the input once: the range partitioner's sample pass, the
+    // counts job and the final job would otherwise re-run the upstream plan
+    // 3×. localCheckpoint (not cache) so the blocks are released by the
+    // ContextCleaner when the result is dropped — a df.cache() here is a
+    // CacheManager entry nothing ever unpersists, a storage-memory leak in
+    // a long-lived session that calls this repeatedly.
+    val ranged = df.localCheckpoint().repartitionByRange(sortCols: _*)
       .withColumn("_pid", spark_partition_id().cast("long"))
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -67,7 +71,7 @@ object Ids {
     val offCol = offsetCol(offsets)
     val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
     ranged
-      .withColumn(idCol, (offCol + row_number().over(w) - 1).cast("int"))
+      .withColumn(idCol, (offCol + row_number().over(w) - 1).cast("long"))
       .drop("_pid")
   }
 }

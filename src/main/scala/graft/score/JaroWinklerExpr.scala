@@ -24,6 +24,24 @@ object JaroWinklerImpl {
  * Null semantics: BinaryExpression's default eval returns null when
  * either side is null (nullSafeEval only sees non-null inputs).
  */
+object JaroWinklerExpr {
+  /** Registry builder with arity validation: a SQL call like
+    * `jaro_winkler(a)` must fail as an analysis error, not an
+    * IndexOutOfBoundsException from children(1). */
+  def build(children: Seq[Expression]): JaroWinklerExpr = {
+    if (children.size != 2) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`jaro_winkler`",
+          "expectedNum" -> "2",
+          "actualNum" -> children.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    JaroWinklerExpr(children(0), children(1))
+  }
+}
+
 case class JaroWinklerExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

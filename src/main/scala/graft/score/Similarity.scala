@@ -114,7 +114,7 @@ object Similarity {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        JaroWinklerExpr(children(0), children(1)),
+        JaroWinklerExpr.build(children),
       "scala_udf")
   }
 }

@@ -11,8 +11,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  *  - watermarked event-time windowed aggregation (the batch
  *    `q9_events_daily` as an incremental query)
- *  - streaming exact dedup (watermark + dropDuplicates — state is
- *    bounded by the watermark horizon, not corpus size)
+ *  - streaming exact dedup (dropDuplicatesWithinWatermark — per-key,
+ *    state bounded by the watermark horizon, not corpus size)
  *  - custom keyed state via flatMapGroupsWithState: incremental
  *    per-entity profiles for ER ingestion (count, first/last seen,
  *    token-set fingerprint of the latest title)
@@ -35,12 +35,16 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
-  /** Streaming exact dedup on a key expression: keeps the first arrival
-    * per key; state for a key is dropped once the watermark passes it. */
+  /** Streaming exact dedup on the KEY alone: keeps the first arrival per
+    * key and drops re-ingests even when they carry a different event
+    * timestamp (the common replay case). `dropDuplicatesWithinWatermark`
+    * bounds state by the watermark horizon — a key's state is evicted once
+    * the watermark passes its last-seen event time + lateness, so state is
+    * proportional to keys ACTIVE within the horizon, not the corpus. */
   def streamingDedup(docs: DataFrame, tsCol: String, keyCols: Seq[String],
       lateness: String = "1 hour"): DataFrame =
     docs.withWatermark(tsCol, lateness)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Incremental per-entity ingestion profile (ER streaming state). */
   case class PageEvent(entity_key: Long, url: String, title: String,
@@ -50,16 +54,29 @@ object Streaming {
       latest_title: String, title_fp: Long)
 
   /** flatMapGroupsWithState updater: emits the refreshed profile on every
-    * batch that touches the key. State: one small row per active entity. */
-  def entityProfiles(pages: Dataset[PageEvent]): Dataset[EntityProfile] = {
+    * batch that touches the key. State: one small row per active entity,
+    * evicted by an EVENT-TIME timeout `stateTtl` after the entity's last
+    * event — so the store tracks entities active within the watermark
+    * horizon, never the total distinct-key population (the only shape that
+    * survives a 10^12-event design point). A re-appearing entity simply
+    * starts a fresh profile. */
+  def entityProfiles(pages: Dataset[PageEvent], lateness: String = "1 hour",
+      stateTtl: String = "1 hour"): Dataset[EntityProfile] = {
     import pages.sparkSession.implicits._
-    pages.groupByKey(_.entity_key)
+    pages.withWatermark("ts", lateness)
+      .groupByKey(_.entity_key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(updateProfile)
+        GroupStateTimeout.EventTimeTimeout)(updateProfile(stateTtl))
   }
 
-  private[streaming] def updateProfile(key: Long, events: Iterator[PageEvent],
+  private[streaming] def updateProfile(stateTtl: String)(
+      key: Long, events: Iterator[PageEvent],
       state: GroupState[EntityProfile]): Iterator[EntityProfile] = {
+    if (state.hasTimedOut) {
+      // watermark passed last_seen + ttl: evict, emit nothing
+      state.remove()
+      return Iterator.empty
+    }
     val evs = events.toSeq.sortBy(_.ts.getTime)
     if (evs.isEmpty) Iterator.empty
     else {
@@ -85,6 +102,11 @@ object Streaming {
         latest_title = latest.title,
         title_fp = fp)
       state.update(next)
+      // timeout timestamp must exceed the current watermark; late events
+      // (ts below watermark) still refresh the ttl from the watermark
+      state.setTimeoutTimestamp(
+        math.max(latest.ts.getTime, state.getCurrentWatermarkMs() + 1),
+        stateTtl)
       Iterator.single(next)
     }
   }

@@ -22,7 +22,7 @@ class DittoConverterSpec extends SparkSuite {
     assert(df.columns.toSeq === Seq("id", "label",
       "left_title", "right_title", "left_brand", "right_brand",
       "left_a", "right_a", "left_year", "right_year"))
-    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
     val r0 = out(0)
     assert(r0.getAs[String]("left_title") === "Acer Aspire 5")
     assert(r0.getAs[String]("right_brand") === "acer")
@@ -37,6 +37,16 @@ class DittoConverterSpec extends SparkSuite {
       DittoConverter.Config(robust = false))
     // the multi-tab line has 5 single-tab parts → dropped under strict
     assert(df.count() === 2)
+  }
+
+  test("convert leaves no CacheManager entries behind (no storage leak)") {
+    val df = DittoConverter.convertLines(spark, lines.toDF("value"),
+      DittoConverter.Config(robust = true))
+    df.count()
+    // localCheckpoint blocks are ContextCleaner-managed; the leak mode the
+    // round-2 advice flagged is an unpersisted df.cache() — assert none
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "convertLines must not leave cached plans in the CacheManager")
   }
 
   test("reference CSV writer: QUOTE_NONNUMERIC byte layout") {

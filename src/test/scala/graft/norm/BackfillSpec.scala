@@ -9,11 +9,11 @@ class BackfillSpec extends SparkSuite {
   test("R15: price/time/date/genre back-filled from Song_Name text") {
     val df = Seq(
       (0, 1,
-        "Still Down $1.29 3:5 released 26-Aug-11 Dance hit", "VAL -", "VAL -", "VAL -", "VAL -",
+        "Still Down $1.29 3:05 released 26-Aug-11 Dance hit", "VAL -", "VAL -", "VAL -", "VAL -",
         "Still Down", "USD 1.29", "03:05", "2011-08-26", "Dance"),
       (1, 0,
         "Plain Song", "VAL -", "4:02", "May 18, 2015", "Country",
-        "Other", "VAL -", "VAL -", "VAL -", "VAL -"))
+        "Widescreen 16:9 Cut", "VAL -", "VAL -", "VAL -", "VAL -"))
       .toDF("id", "label",
         "left_Song_Name", "left_Price", "left_Time", "left_Released", "left_Genre",
         "right_Song_Name", "right_Price", "right_Time", "right_Released", "right_Genre")
@@ -28,6 +28,8 @@ class BackfillSpec extends SparkSuite {
     assert(out(1).getAs[String]("left_Released") === "May 18, 2015")
     // nothing to extract → stays null (rendered later by enrich)
     assert(out(1).getAs[String]("right_Price") === null)
+    // an aspect ratio ("16:9" — single-digit seconds) is NOT a duration
+    assert(out(1).getAs[String]("right_Time") === null)
   }
 
   test("backfill then enrich yields the reference's rendered forms") {

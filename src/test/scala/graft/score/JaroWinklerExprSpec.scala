@@ -55,6 +55,18 @@ class JaroWinklerExprSpec extends SparkSuite {
     assert(math.abs(r.getDouble(0) - 0.9611) < 1e-4)
   }
 
+  test("wrong arity is an analysis error, not an IndexOutOfBounds") {
+    Similarity.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler('a')").collect()
+    }
+    assert(e1.getMessage.contains("jaro_winkler"), e1.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler('a', 'b', 'c')").collect()
+    }
+    assert(e3.getMessage.contains("jaro_winkler"), e3.getMessage)
+  }
+
   test("GraftExtensions injects jaro_winkler into a function registry") {
     // spark.sql.extensions is a static conf applied at SparkContext
     // creation — unavailable in a shared-context suite — so exercise the

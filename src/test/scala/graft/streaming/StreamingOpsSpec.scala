@@ -23,11 +23,51 @@ class StreamingOpsSpec extends SparkSuite {
         (ts("2026-01-01 10:01:00"), 2L, "b"))
       q.processAllAvailable()
       in.addData((ts("2026-01-01 10:00:00"), 1L, "a-again"),
+        // re-ingest of key 2 with a DIFFERENT event time (the common
+        // replay case) must also be dropped: dedup is per key, not per
+        // (key, ts)
+        (ts("2026-01-01 10:03:00"), 2L, "b-replayed"),
         (ts("2026-01-01 10:02:00"), 3L, "c"))
       q.processAllAvailable()
       val out = spark.table("dedup_out").select("doc_id")
         .as[Long].collect().sorted
       assert(out === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("entity profile state is evicted after the event-time ttl") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Streaming.PageEvent]
+    val profiles = Streaming.entityProfiles(in.toDS(),
+      lateness = "10 minutes", stateTtl = "1 hour")
+    val q = profiles.writeStream.format("memory").queryName("profiles_ttl")
+      .outputMode("append").start()
+    try {
+      // batch 1: entity 7 and the watermark-driver entity 99
+      in.addData(
+        Streaming.PageEvent(7L, "https://a/1", "Acer Aspire 5",
+          ts("2026-01-01 09:00:00")),
+        Streaming.PageEvent(99L, "https://w/1", "tick",
+          ts("2026-01-01 09:00:00")))
+      q.processAllAvailable()
+      // batch 2 advances the watermark to 12:50 (> 7's 10:00 timeout) …
+      in.addData(Streaming.PageEvent(99L, "https://w/2", "tick",
+        ts("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      // … batch 3 runs timeout processing with that watermark: 7 evicted
+      in.addData(Streaming.PageEvent(99L, "https://w/3", "tick",
+        ts("2026-01-01 13:01:00")))
+      q.processAllAvailable()
+      // batch 4: entity 7 re-appears — state was removed, profile restarts
+      in.addData(Streaming.PageEvent(7L, "https://a/2", "Acer Aspire 5",
+        ts("2026-01-01 13:30:00")))
+      q.processAllAvailable()
+      val rows7 = spark.table("profiles_ttl")
+        .where(col("entity_key") === 7L)
+        .orderBy("last_seen").as[Streaming.EntityProfile].collect()
+      assert(rows7.length === 2)
+      assert(rows7.last.n_pages === 1L)           // fresh state, not 2
+      assert(rows7.last.first_seen === ts("2026-01-01 13:30:00"))
     } finally q.stop()
   }
 
