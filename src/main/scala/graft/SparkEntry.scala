@@ -169,6 +169,14 @@ object SparkEntry {
     "emb_ann_topk" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Ann.bruteForceTopK(t(dir, "embeddings"), nQueries = 8, k = 5)
     }),
+    "emb_ann_ivf" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // the scale-path ANN operator under the driver oracle: with
+      // nprobe = nlist every list is probed, so IVF must reproduce the
+      // brute-force top-k exactly (same DuckDB oracle as emb_ann_topk);
+      // partial-probe recall is covered by AnnSpec
+      Ann.ivfTopK(t(dir, "embeddings"), nQueries = 8, k = 5,
+        nlist = 8, nprobe = 8)
+    }),
     "emb_neardup_lsh" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Ann.cosineNearDupLsh(t(dir, "embeddings"), bits = 12, cosFloor = 0.9)
     }),
@@ -536,6 +544,16 @@ object SparkEntry {
          |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
          |FROM pr""".stripMargin,
     "emb_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id query_id, v qv FROM e ORDER BY vec_id LIMIT 8),
+        |s AS (SELECT query_id, e.vec_id neighbor_id,
+        |        round(list_cosine_similarity(qv, e.v), 6) cos
+        |      FROM q, e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT s.*, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin,
+    // full-probe IVF ≡ brute force: identical oracle shape to emb_ann_topk
+    "emb_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id query_id, v qv FROM e ORDER BY vec_id LIMIT 8),
         |s AS (SELECT query_id, e.vec_id neighbor_id,

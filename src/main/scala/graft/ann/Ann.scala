@@ -57,29 +57,42 @@ object Ann {
 
   // ---------------- IVF (inverted-file) ANN --------------------------------
 
-  /** Deterministic coarse quantizer: `nlist` seed centroids taken from the
-    * lowest vec_ids, refined by one Lloyd iteration (element-wise mean of
-    * assigned vectors). Returns the centroid matrix (small: nlist × dim,
-    * driver-resident by design — it IS the broadcastable model). */
-  def trainIvfCentroids(emb: DataFrame, nlist: Int): Array[Array[Double]] = {
-    val seeds = emb.orderBy(col("vec_id")).limit(nlist)
+  /** Deterministic coarse quantizer. Seeds: the `nlist` vectors with the
+    * LOWEST xxhash64(vec_id) — a hash-spread pseudo-random sample that is
+    * content-independent, so corpora whose id order correlates with
+    * content (timestamps, shard prefixes, sorted embeddings) still get
+    * seeds spread across the whole corpus; seeding by lowest raw vec_id
+    * degenerates exactly there (all seeds in one content cluster → recall
+    * collapse). Refined by `lloydIters` Lloyd iterations (element-wise
+    * mean of assigned vectors; empty lists keep their previous centroid).
+    * Returns the centroid matrix (small: nlist × dim, driver-resident by
+    * design — it IS the broadcastable model). */
+  def trainIvfCentroids(emb: DataFrame, nlist: Int,
+      lloydIters: Int = 2): Array[Array[Double]] = {
+    val seeds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      nearestList(col("embedding"), seeds).as("list_id"))
-    // element-wise mean per list: posexplode → (list, pos) avg — one
-    // shuffle of (nlist × dim) cells, independent of corpus size
-    val means = assigned
-      .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("list_id"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .collect()
-    val dim = seeds.head.length
-    val out = seeds.map(_.clone())
-    means.foreach { r =>
-      out(r.getAs[Int]("list_id"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+    var cents = seeds
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = emb.select(col("embedding"),
+        nearestList(col("embedding"), cents).as("list_id"))
+      // element-wise mean per list: posexplode → (list, pos) avg — one
+      // shuffle of (nlist × dim) cells, independent of corpus size
+      val means = assigned
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("list_id"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = next
+      it += 1
     }
-    out
+    cents
   }
 
   /** Nearest-centroid assignment as a compact per-row JVM function over
@@ -103,14 +116,15 @@ object Ann {
     f(emb)
   }
 
-  /** IVF top-k: corpus bucketed by nearest centroid; each query probes its
-    * `nprobe` closest lists only, so the scan is an EQUI-join on list_id
-    * (shuffle on a small int key) instead of a full cross join — the
-    * classic inverted-file ANN topology that scales to billions of
-    * vectors. Exact cosine re-ranking inside the probed lists. */
-  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val cents = trainIvfCentroids(emb, nlist)
+  /** IVF candidate scan: corpus bucketed by nearest centroid; each query
+    * probes its `nprobe` closest lists only, so the scan is an EQUI-join
+    * on list_id (shuffle on a small int key) instead of a full cross
+    * join — the classic inverted-file ANN topology that scales to
+    * billions of vectors. Returns every probed (query_id, vec_id, cos)
+    * candidate — callers rank (ivfTopK) or audit (ivfProbeStats). */
+  def ivfCandidates(emb: DataFrame, nQueries: Int, nlist: Int = 16,
+      nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val cents = trainIvfCentroids(emb, nlist, lloydIters)
     val corpus = emb.select(col("vec_id"), col("embedding"),
       nearestList(col("embedding"), cents).as("list_id"))
     val queries = emb.orderBy(col("vec_id")).limit(nQueries)
@@ -130,11 +144,28 @@ object Ann {
     val probes = probeRows.toSeq.toDF("query_id", "list_id")
     val qdf = queries.map(r => (r.getLong(0), r.getSeq[Float](1)))
       .toSeq.toDF("query_id", "q_emb")
-    val candidates = corpus
+    corpus
       .join(broadcast(probes), Seq("list_id"))
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(qdf), Seq("query_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
+  /** Per-query probed-candidate counts — the recall-collapse telemetry: a
+    * query whose probed lists hold almost no candidates (n_candidates ≪
+    * corpus/nlist × nprobe) signals a degenerate quantizer. One tiny
+    * aggregate over the candidate scan. */
+  def ivfProbeStats(candidates: DataFrame): DataFrame =
+    candidates.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+
+  /** IVF top-k: exact cosine re-ranking inside the probed lists. With
+    * nprobe = nlist (full probe) this reproduces bruteForceTopK exactly —
+    * the driver-oracle query emb_ann_ivf pins that equivalence. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val candidates = ivfCandidates(emb, nQueries, nlist, nprobe, lloydIters)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     candidates.withColumn("rank", row_number().over(w).cast(LongType))
@@ -163,22 +194,34 @@ object Ann {
 
   /** Embedding near-duplicate pairs: bucket by RHP signature, verify by
     * exact cosine >= cosFloor. Multi-probe: also joins buckets at hamming
-    * distance 1 (flip each bit) to recover near-boundary pairs. */
+    * distance 1 (flip each bit) to recover near-boundary pairs.
+    *
+    * Shuffle discipline (same as Dedup.minhashPairsWithStats and the ER
+    * candidate join): the bucket join and the pair dedup run on SLIM
+    * (bucket, vec_id) rows — the multi-probe side replicates each row
+    * bits+1 times, so carrying the embedding array there would amplify
+    * the shuffled payload 13× at bits=12 (at a 10-TB embedding table,
+    * ~130 TB through the wire). Embeddings are re-attached AFTER the
+    * id-pair dedup by two id-joins, so each embedding crosses the wire
+    * once per side, and only for surviving candidate pairs. */
   def cosineNearDupLsh(emb: DataFrame, bits: Int, cosFloor: Double,
       dimOpt: Option[Int] = None): DataFrame = {
     val dim = dimOpt.getOrElse(probeDim(emb))
-    val sig = emb.select(col("vec_id"), col("embedding"),
+    val sig = emb.select(col("vec_id"),
       rhpSignature(col("embedding"), bits, dim).as("sig"))
-    // probe buckets: own signature + each 1-bit flip
-    val probes = sig.withColumn("bucket", explode(array(
+    // probe buckets: own signature + each 1-bit flip — ids only
+    val probes = sig.select(col("vec_id").as("r_id"), explode(array(
       (col("sig") +: (0 until bits).map(b =>
-        col("sig").bitwiseXOR(lit(1L << b)))): _*)))
-    val l = sig.select(col("sig").as("bucket"), col("vec_id").as("l_id"),
-      col("embedding").as("l_emb"))
-    val r = probes.select(col("bucket"), col("vec_id").as("r_id"),
-      col("embedding").as("r_emb"))
-    l.join(r, Seq("bucket")).where(col("l_id") < col("r_id"))
+        col("sig").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
+    val left = sig.select(col("sig").as("bucket"), col("vec_id").as("l_id"))
+    val idPairs = left.join(probes, Seq("bucket"))
+      .where(col("l_id") < col("r_id"))
+      .select(col("l_id"), col("r_id"))
       .dropDuplicates("l_id", "r_id")
+    val payload = emb.select(col("vec_id"), col("embedding"))
+    idPairs
+      .join(payload.toDF("l_id", "l_emb"), Seq("l_id"))
+      .join(payload.toDF("r_id", "r_emb"), Seq("r_id"))
       .withColumn("cos", round(cosine(col("l_emb"), col("r_emb")), 6))
       .where(col("cos") >= cosFloor)
       .select(col("l_id"), col("r_id"), col("cos"))

@@ -58,6 +58,61 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.7, s"ivf recall $recall")
   }
 
+  test("near-dup bucket join shuffles slim id rows, never embeddings") {
+    // AQE off so the compiled plan's exchanges are directly inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = fixture(50, 32)
+      val out = Ann.cosineNearDupLsh(emb, bits = 8, cosFloor = 0.95,
+        dimOpt = Some(32))
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.output.map(_.name)
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { cols =>
+        val carriesEmb = cols.exists(_.toLowerCase.contains("emb"))
+        // the bucket join + pair dedup must be embedding-free; the only
+        // exchanges allowed to carry an embedding are the two slim
+        // (id, embedding) payload re-attach sides
+        assert(!carriesEmb || cols.size <= 2,
+          s"embedding array in a wide shuffle: $cols")
+        assert(!(cols.contains("bucket") && carriesEmb),
+          s"embedding shuffled through the bucket join: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("IVF quantizer survives content-correlated id order") {
+    // 4 well-separated content clusters with ids assigned CLUSTER-MAJOR:
+    // the lowest vec_ids all live in cluster 0 — exactly the corpus shape
+    // (timestamp/shard-sorted ids) where lowest-vec_id seeding degenerates.
+    // Hash-spread seeding must keep partial-probe recall high anyway.
+    val rnd = new scala.util.Random(3)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat * 5f))
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield
+      ((c * 12 + i).toLong,
+        centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val truth = Ann.bruteForceTopK(emb, nQueries = 8, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val part = Ann.ivfTopK(emb, nQueries = 8, k = 3, nlist = 4, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (part intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.7, s"ivf recall $recall under content-correlated ids")
+  }
+
+  test("IVF probe stats expose per-query candidate counts") {
+    val emb = fixture(30, 16)   // 60 vectors incl. planted dups
+    val stats = Ann.ivfProbeStats(
+      Ann.ivfCandidates(emb, nQueries = 5, nlist = 8, nprobe = 8))
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_candidates"))
+      .toMap
+    assert(stats.size === 5)
+    // full probe ⇒ every query sees the whole corpus minus itself
+    stats.foreach { case (q, n) => assert(n === 59L, s"query $q saw $n") }
+  }
+
   test("signature is deterministic across partitionings") {
     val emb = fixture(20, 16)
     def sigs(parts: Int) = Ann.rhpSignature($"embedding", 10, 16)
