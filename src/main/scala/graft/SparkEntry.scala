@@ -166,6 +166,13 @@ object SparkEntry {
       t(dir, "documents").select($"doc_id",
         Dedup.simhash64($"text").as("simhash"))
     }),
+    "doc_winnow_containment" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // winnowing postings-list containment join (the pair-level consumer
+      // of winnowFingerprints); cap 64 suits the synthetic low-entropy
+      // corpus — at web scale the cap is a corpus-DF-derived stoplist
+      TextAnalysis.winnowContainmentPairs(t(dir, "documents"),
+        $"doc_id", $"text", k = 5, w = 4, floor = 0.4, maxPostings = 64L)
+    }),
     "emb_ann_topk" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Ann.bruteForceTopK(t(dir, "embeddings"), nQueries = 8, k = 5)
     }),
@@ -197,10 +204,22 @@ object SparkEntry {
       stageAndRead(s, "er_truth", PageGen.pagesWithTruth(s, 400, seed = 7L)
         .select($"url", xxhash64($"url").as("id"), $"entity_id"))
       val (cl, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))
-      cl.select($"url", $"component")
+      // the computed assignment is also staged so er_f1 can evaluate the
+      // SAME clustering without re-running the whole pipeline
+      stageAndRead(s, "er_clusters_out", cl.select($"url", $"component"))
     }),
     "er_f1" -> ((s, dir) => { implicit val sp = s; import s.implicits._
-      val (cl, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))
+      // Reuse the clustering er_clusters already staged (identical seed/
+      // size — content is value-identical by determinism); falling back to
+      // a fresh pipeline run keeps the query independently runnable.
+      val clPath = s"$stageRoot/er_clusters_out"
+      val cl =
+        if (new java.io.File(s"$clPath/_SUCCESS").exists())
+          s.read.parquet(clPath)
+        else {
+          val (c, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))
+          c.select($"url", $"component")
+        }
       val clStaged = stageAndRead(s, "er_f1_clusters",
         cl.select($"url", $"component"))
       val lpStaged = stageAndRead(s, "er_f1_pairs",
@@ -466,6 +485,51 @@ object SparkEntry {
         |    THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT), 0)
         |    AS simhash
         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // Full DuckDB replication of the winnowing chain (TextAnalysis
+    // .winnowFingerprints k=5 w=4): per-char codepoints → base-31 rolling
+    // k-gram hashes in mod-2^64 HUGEINT arithmetic → SIGNED conversion
+    // (Spark's window-min compares signed longs) → sliding-window minima →
+    // distinct → postings df-trim (HAVING 2..64) → pair join. Window-min
+    // VALUES are tie-break-independent, so the rightmost-min rule needs no
+    // replication.
+    "doc_winnow_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, [CAST(unicode(ch) AS UBIGINT)
+        |    for ch in regexp_split_to_array(lower(text), '')] AS cs
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, len(cs) - 5 + 1 AS n,
+        |    [CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |               THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |               ELSE h END AS BIGINT)
+        |     for h in [CAST(list_reduce(cs[i:i+4],
+        |         (acc, x) -> CAST(CAST((CAST(acc AS HUGEINT)*31 + x)
+        |           % 18446744073709551616 AS HUGEINT) AS UBIGINT))
+        |       AS HUGEINT)
+        |       for i in range(1, greatest(len(cs)-5+1, 0)+1)]] AS hs
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n <= 0 THEN CAST([] AS BIGINT[])
+        |         WHEN n <= 4 THEN [list_min(hs)]
+        |         ELSE list_distinct([list_min(hs[i:i+3])
+        |                             for i in range(1, n-4+2)]) END AS fps
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f
+        |), keep AS (
+        |  SELECT fp FROM p GROUP BY fp
+        |  HAVING count(*) <= 64 AND count(*) >= 2
+        |), post AS (
+        |  SELECT p.fp, p.doc_id, p.n_fp FROM p JOIN keep USING (fp)
+        |), pair AS (
+        |  SELECT a.doc_id l_id, b.doc_id r_id, count(*) n_shared,
+        |         round(count(*)/least(a.n_fp, b.n_fp), 6) containment
+        |  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
+        |)
+        |SELECT l_id, r_id, n_shared, containment FROM pair
+        |WHERE containment >= 0.4""".stripMargin,
     // LSH candidate generation is pruning, not semantics: on the sf0.01
     // corpus the deterministic band family has verified recall 1.0, so the
     // exhaustive O(n²) shingle-Jaccard set IS the expected output (checked

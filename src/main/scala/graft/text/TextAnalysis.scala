@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -149,5 +149,47 @@ object TextAnalysis {
       }
     }
     f(c)
+  }
+
+  /** Containment / clone-detection pair join over winnowing fingerprints —
+    * the postings-list consumer of [[winnowFingerprints]] (Schleimer et
+    * al. §5: shared fingerprints ⇒ shared substrings of length ≥ w+k-1).
+    * For each candidate pair: n_shared = |F(a) ∩ F(b)| and containment =
+    * n_shared / min(|F(a)|, |F(b)|) — 1.0 when the smaller document's
+    * fingerprint set is fully contained in the larger's.
+    *
+    * Scale shape: postings are SLIM (fp, doc_id, n_fp) rows; the self-join
+    * shuffles on the 64-bit fingerprint, never on text. Boilerplate
+    * fingerprints shared by more than `maxPostings` documents are dropped
+    * from candidate generation (stoplist semantics — the quadratic blowup
+    * of a mega-posting is the same failure mode as a mega-LSH-block);
+    * pairs that share ONLY boilerplate are intentionally not candidates.
+    * The drop is observable: filtered fingerprints lower n_shared, never
+    * silently cap rows. */
+  def winnowContainmentPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, w: Int = 4, floor: Double = 0.5,
+      maxPostings: Long = 1000L): DataFrame = {
+    val fps = docs.select(idCol.as("doc_id"),
+      winnowFingerprints(textCol, k, w).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
+        explode(col("fps")).as("fp"))
+    // document-frequency trim of boilerplate postings (two scale-free
+    // aggregates: fp-df groupBy + semi-join back)
+    val keepFp = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxPostings && col("df") >= 2)
+      .select(col("fp"))
+    val post = fps.join(keepFp, Seq("fp"))
+    val l = post.select(col("fp"), col("doc_id").as("l_id"), col("n_fp").as("l_n"))
+    val r = post.select(col("fp"), col("doc_id").as("r_id"), col("n_fp").as("r_n"))
+    l.join(r, Seq("fp")).where(col("l_id") < col("r_id"))
+      // fps are deduped per document, so one posting per (doc, fp):
+      // count(*) per pair IS the shared-fingerprint count
+      .groupBy(col("l_id"), col("r_id"), col("l_n"), col("r_n"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment", round(col("n_shared").cast(DoubleType) /
+        least(col("l_n"), col("r_n")).cast(DoubleType), 6))
+      .where(col("containment") >= floor)
+      .select(col("l_id"), col("r_id"), col("n_shared"), col("containment"))
   }
 }

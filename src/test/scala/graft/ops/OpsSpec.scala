@@ -146,6 +146,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fps2 === fps)
   }
 
+  test("winnow containment join: contained doc scores ~1 vs its container") {
+    val common = "the quick brown fox jumps over the lazy dog near the river bank"
+    val container = "HEADER SECTION " + common + " FOOTER MATERIAL EXTRA TRAILING"
+    val other = "completely unrelated corpus entry about catalyst and tungsten"
+    val docs = Seq((1L, container), (2L, common), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowContainmentPairs(docs, $"doc_id", $"text",
+        floor = 0.5, maxPostings = 10L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")) -> r)
+      .toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)).getAs[Double]("containment") >= 0.7)
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.fingerprint64($"text").as("f"))
