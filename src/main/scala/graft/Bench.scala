@@ -6,6 +6,22 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Queries are materialized with count() (forces the
   * full plan; results themselves are checked by graft.Verify). */
 object Bench {
+
+  /** Scratch dir for shuffle/spill files: prefer RAM-backed /dev/shm when
+    * present (this sandbox's root fs mounts with `discard`, making Spark's
+    * many-small-shuffle-file churn synchronously TRIM on every unlink; a
+    * real cluster executor writes shuffle to fast local SSD). An explicit
+    * -Dspark.local.dir always wins. */
+  private[graft] def localDir: String =
+    sys.props.get("spark.local.dir").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "graft-spark-local")
+        d.mkdirs()
+        d.getAbsolutePath
+      } else System.getProperty("java.io.tmpdir")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,6 +31,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(
@@ -74,6 +91,7 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(

@@ -1,6 +1,6 @@
 package graft.cluster
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -19,17 +19,21 @@ import org.apache.spark.sql.types.DecimalType
  * rounds to converge; `localCheckpoint` after every round truncates
  * lineage so plan size stays constant. Convergence is detected by an
  * order-independent checksum (count + exact decimal sum of pair hashes)
- * of the deduped edge set — two tiny aggregates per round instead of
- * anti-join shuffles.
+ * of the deduped edge set, collected via `observe` DURING the round's own
+ * materialization job — zero extra jobs / driver round-trips per round
+ * (the driver's per-round serial work is pure Amdahl overhead that caps
+ * N-vs-4N scaling efficiency).
  */
 object ConnectedComponents {
 
   /** @param edges DataFrame with two numeric columns (src, dst).
-    * @param persist per-round state materializer. Default `localCheckpoint`
-    *   is fast but memory-pinned and NOT fault-tolerant — production runs
-    *   (PipelineApp) pass `_.checkpoint()` so round state lands on reliable
-    *   storage and a lost executor replays from the checkpoint, not from
-    *   the whole lineage.
+    * @param persist per-round state materializer. MUST be eager (run a job
+    *   materializing its input — `localCheckpoint()`/`checkpoint()` both
+    *   are): the convergence checksum is an `observe` metric harvested from
+    *   that job. Default `localCheckpoint` is fast but memory-pinned and
+    *   NOT fault-tolerant — production runs (PipelineApp) pass
+    *   `_.checkpoint()` so round state lands on reliable storage and a lost
+    *   executor replays from the checkpoint, not from the whole lineage.
     * @return DataFrame(id LONG, component LONG), one row per distinct node. */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
       persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
@@ -42,16 +46,25 @@ object ConnectedComponents {
     val nodes = base.select($"lo".as("id"))
       .union(base.select($"hi".as("id"))).distinct()
 
-    // edge set invariant between rounds: canonical (hi > lo) pairs
-    var cur = persist(base.select($"hi".as("u"), $"lo".as("v")))
-    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
-      // order-independent, exact (decimal keeps ANSI mode overflow-free)
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64($"u", $"v").cast(DecimalType(38, 0)))).collect()(0)
-      (r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    // Materialize + checksum in ONE job: the order-independent exact
+    // checksum (count + decimal sum of pair hashes; decimal keeps ANSI
+    // mode overflow-free) rides the persist job as an observed metric.
+    def persistWithChecksum(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = Observation()
+      val p = persist(df.observe(obs,
+        count(lit(1)).as("cnt"),
+        sum(xxhash64($"u", $"v").cast(DecimalType(38, 0))).as("cs")))
+      val m = obs.get // persist was eager, so this returns immediately
+      val cs = m("cs") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }
+      (p, (m("cnt").asInstanceOf[Long], cs))
     }
-    var curSum = checksum(cur)
+
+    // edge set invariant between rounds: canonical (hi > lo) pairs
+    var (cur, curSum) = persistWithChecksum(base.select($"hi".as("u"), $"lo".as("v")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -80,12 +93,11 @@ object ConnectedComponents {
         .where($"a" =!= $"b")
         .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
         .distinct()
-      val smallP = persist(small)
-
       // convergence test: checksum of the new edge set vs the previous
       // round's (a collision would need equal count AND equal exact sum
-      // of 64-bit pair hashes). One aggregate job per round.
-      val smallSum = checksum(smallP)
+      // of 64-bit pair hashes). Collected inside the persist job itself —
+      // no separate aggregate job.
+      val (smallP, smallSum) = persistWithChecksum(small)
       converged = smallSum == curSum
       curSum = smallSum
       cur = smallP

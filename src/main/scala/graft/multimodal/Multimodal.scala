@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
  * as opaque `binary` columns with typed metadata; decode / feature
  * extraction runs partition-batched on executors.
  *
- * The container has no image/audio codecs, so the DECODE step is a
- * clearly-marked deterministic stub (`stubDecode`); everything around it —
- * schema, partition batching, per-batch state amortization, output shape —
- * is the real distributed plumbing and is tested. Swapping in a real codec
- * means replacing the body of `stubDecode` only.
+ * IMAGE decode is real: the JVM-bundled `javax.imageio` codecs (PNG, GIF,
+ * BMP, JPEG — pure JVM, no native deps) decode pixels and produce a
+ * luminance histogram. Payloads that are not decodable images (and audio/
+ * video, for which the container has no codecs) fall back to the
+ * clearly-marked deterministic `stubDecode`; the surrounding plumbing —
+ * schema, partition batching, per-partition codec state, output shape —
+ * is identical on both paths and is tested.
  */
 object Multimodal {
 
@@ -23,8 +25,45 @@ object Multimodal {
 
   case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
 
+  /** `decoder` records which path produced the features: "imageio" (real
+    * pixel decode) or "stub" (deterministic fallback). */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      checksum: Long, features: Array[Float])
+      checksum: Long, features: Array[Float], decoder: String)
+
+  /** Real image decode via ImageIO. Returns (checksum over ARGB pixels,
+    * luminance histogram normalized to the pixel count, width, height), or
+    * None when the payload is not a decodable image — callers fall back to
+    * `stubDecode`. Deterministic: PNG/GIF/BMP decoding is exact. */
+  def decodeImage(payload: Array[Byte], dim: Int)
+      : Option[(Long, Array[Float], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val f = new Array[Float](dim)
+        var cs = 1125899906842597L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            f(lum * dim / 256) += 1.0f
+            cs = 31 * cs + rgb
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var j = 0
+        while (j < dim) { f(j) /= n; j += 1 }
+        Some((cs, f, w, h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic fake decode: byte histogram folded to `dim` float
     * features + a content checksum. STUB — stands in for a real
@@ -53,13 +92,22 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init: real impl loads codec / model weights here
-      val decoderReady = true
+      // per-partition init: disable ImageIO's temp-file cache once per
+      // partition (in-memory streams only); a heavier codec/model handle
+      // would be created here and amortized over the batch the same way.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        require(decoderReady)
-        val (checksum, feats) = stubDecode(r.payload, dim)
-        MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,
-          checksum, feats)
+        val real =
+          if (r.meta.kind == "image") decodeImage(r.payload, dim) else None
+        real match {
+          case Some((checksum, feats, _, _)) =>
+            MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,
+              checksum, feats, "imageio")
+          case None =>
+            val (checksum, feats) = stubDecode(r.payload, dim)
+            MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,
+              checksum, feats, "stub")
+        }
       }
     }
   }
