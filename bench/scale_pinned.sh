@@ -9,13 +9,18 @@
 #     run on a 32-core box still uses all 32 cores for GC, JIT, netty IO
 #     and parquet threads, i.e. the small "cluster" silently borrows 4x
 #     resources and the measured efficiency understates true scaling.
-#   - Memory: heap proportional to cores (identical per-executor sizing;
-#     a 4N cluster has 4x aggregate memory by construction).
+#   - Memory: the SAME modest heap at both levels (default 16g — the size
+#     of one production executor). Real clusters scale out with many
+#     fixed-size executor heaps, not one giant heap; measured here, a 64g
+#     heap made G1 young collections ~0.75s each (261s of GC in one run)
+#     and corrupted the measurement, while the workload fits 16g at both
+#     levels with zero spill, so equal heaps keep memory out of the
+#     comparison entirely.
 # JVM thread pools (GC, common FJ pool) size themselves from the pinned
 # affinity mask (Linux sched_getaffinity), so parallelism follows the
 # pin automatically.
 #
-# Usage: bench/scale_pinned.sh [entities] [reps] [loCpus] [hiCpus] [gbPerCore]
+# Usage: bench/scale_pinned.sh [entities] [reps] [loCpus] [hiCpus] [heapGb]
 # Writes one JSON line per level (from graft.ScaleBench single-level mode)
 # plus a derived efficiency line.
 set -euo pipefail
@@ -25,7 +30,7 @@ ENTITIES="${1:-200000}"
 REPS="${2:-2}"
 LO="${3:-8}"
 HI="${4:-32}"
-GB_PER_CORE="${5:-2}"
+HEAP_GB="${5:-16}"
 
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS=""
@@ -37,7 +42,7 @@ done
 
 run_level() {
   local cpus="$1"
-  local heap=$(( cpus * GB_PER_CORE ))
+  local heap=$HEAP_GB
   local last=$(( cpus - 1 ))
   mkdir -p /dev/shm/spark-local
   taskset -c "0-$last" java $ADD_OPENS -Xmx"${heap}g" \
@@ -47,7 +52,7 @@ run_level() {
     | tail -1
 }
 
-echo "# entities=$ENTITIES reps=$REPS levels=$LO,$HI heap=${GB_PER_CORE}g/core (pinned via taskset)" >&2
+echo "# entities=$ENTITIES reps=$REPS levels=$LO,$HI heap=${HEAP_GB}g/JVM (pinned via taskset)" >&2
 LO_JSON=$(run_level "$LO")
 echo "$LO_JSON"
 HI_JSON=$(run_level "$HI")

@@ -73,12 +73,18 @@ object Bench {
   }
 }
 
-/** Scaling-evidence harness (BASELINE.md): run the full ER pipeline over
-  * a generated corpus at two parallelism levels (default 8 and 32 — the
-  * sandbox stand-in for N vs 4N executors; no real cluster here),
-  * INTERLEAVED in one JVM so machine-load drift hits both levels equally,
-  * best-of-k per level. Prints one JSON line per level plus an
-  * efficiency line.
+/** Scaling-evidence harness (BENCH/BASELINE.md): run the full ER pipeline
+  * over a generated corpus at two parallelism levels — the sandbox
+  * stand-in for N vs 4N executors (no real cluster here). Prints one JSON
+  * line per level plus an efficiency line.
+  *
+  * The CANONICAL protocol is `bench/scale_pinned.sh`: one JVM per level,
+  * pinned with `taskset` to exactly N cores and a fixed 16g heap, so the
+  * small "cluster" cannot borrow the idle cores for GC/JIT/IO threads
+  * (unpinned `local[8]` on a 32-core box measures an 8-task-thread job
+  * with 32-core JVM services — which understates or distorts true
+  * scaling). Single-level mode (`<entities> <cpus> <reps>`) is what the
+  * script invokes; two-level mode remains for quick unpinned smoke runs:
   *
   *   sbt "runMain graft.ScaleBench <entities> [cpusA,cpusB] [reps]"
   */

@@ -66,6 +66,18 @@ object ERPipeline {
         * This guard costs one distinct-count aggregate — keep it on for
         * validation runs, budget it consciously at full scale. */
       checkIdCollisions: Boolean = true,
+      /** PPJoin-family upper-bound pruning (Xiao et al., WWW '08 prefix
+        * filtering, adapted to a weighted score): jw and lev are bounded by
+        * 1, so a pair with wJw + wLev + wCos·cos + wJac·jac < scoreThreshold
+        * can NEVER cluster regardless of its string similarities — the
+        * edit-distance loops (the O(|s|²) per-pair hot spot) are skipped
+        * for it and its jw/lev are reported as 0.0. Cluster output is
+        * bit-identical with pruning on or off (spec-pinned); only the
+        * sub-threshold diagnostic columns differ. On LSH-blocked web
+        * corpora the cheap token measures disqualify the vast majority of
+        * candidates, cutting per-pair compute AND allocation traffic (the
+        * GC-bound serial fraction that caps multi-core scaling). */
+      pruneHeavySims: Boolean = true,
       maxCcIterations: Int = 50)
 
   /** Stage 1: canonical text per url (per-row invariant vs the reference
@@ -143,10 +155,19 @@ object ERPipeline {
     val pairs = idPairs
       .join(side("l_"), Seq("l_id"))
       .join(side("r_"), Seq("r_id"))
-    val jw = Similarity.jaro_winkler(col("l_norm_title"), col("r_norm_title"))
-    val lev = Similarity.levenshteinRatio(col("l_norm_title"), col("r_norm_title"))
+    val jwRaw = Similarity.jaro_winkler(col("l_norm_title"), col("r_norm_title"))
+    val levRaw = Similarity.levenshteinRatio(col("l_norm_title"), col("r_norm_title"))
     val cos = Similarity.tokenCosine(col("l_tokens"), col("r_tokens"))
     val jac = Similarity.jaccard(col("l_tokens"), col("r_tokens"))
+    // Upper-bound prune (see Config.pruneHeavySims): evaluate the cheap
+    // token-set measures first; run the edit-distance loops only when the
+    // pair could still reach the clustering threshold with perfect string
+    // scores. `when` short-circuits per row inside codegen.
+    val reachable =
+      lit(0.25) + lit(0.15) + lit(0.30) * cos + lit(0.30) * jac >=
+        lit(cfg.scoreThreshold)
+    val jw = if (cfg.pruneHeavySims) when(reachable, jwRaw).otherwise(lit(0.0)) else jwRaw
+    val lev = if (cfg.pruneHeavySims) when(reachable, levRaw).otherwise(lit(0.0)) else levRaw
     // R6 preserve-specificity guard: disjoint model-number tokens on both
     // sides is strong evidence of distinct entities.
     val modelsDisjoint = size(col("l_model_tokens")) > 0 &&

@@ -33,6 +33,33 @@ class ERPipelineSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("upper-bound pruning leaves cluster output bit-identical") {
+    // pruneHeavySims may only skip jw/lev for pairs that cannot reach the
+    // threshold — so clusters (and the above-threshold edge set) must be
+    // exactly equal with pruning on and off.
+    val pages = PageGen.pages(spark, 150, seed = 23L)
+    val (cOn, _) = ERPipeline.run(spark, pages,
+      ERPipeline.Config(pruneHeavySims = true))
+    val (cOff, _) = ERPipeline.run(spark, pages,
+      ERPipeline.Config(pruneHeavySims = false))
+    val a = cOn.select("url", "component").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = cOff.select("url", "component").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a === b)
+    // and above-threshold scores themselves are unchanged (score fidelity
+    // is only relaxed strictly below the threshold)
+    val ex = ERPipeline.extract(pages).localCheckpoint()
+    def edges(prune: Boolean) = {
+      val cfg = ERPipeline.Config(pruneHeavySims = prune)
+      val (sc, _) = ERPipeline.scorePairs(ex, ERPipeline.block(ex, cfg), cfg)
+      sc.where(col("score") >= cfg.scoreThreshold)
+        .select("l_id", "r_id", "score").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    assert(edges(true) === edges(false))
+  }
+
   test("extraction satisfies the per-row invariant on generated corpus") {
     // canonical_text must equal the reference-parity UDF output — and the
     // codegen fast path must agree with it row-for-row.

@@ -24,6 +24,26 @@ class JaroWinklerExprSpec extends SparkSuite {
     }
   }
 
+  test("ASCII byte path == String path; non-ASCII falls back; long strings grow scratch") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(11)
+    def str(alpha: String, n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = Seq(
+      ("martha", "marhta"), ("", "x"), ("prefix", "prefixes"),
+      // non-ASCII: multibyte chars must route through the String impl
+      ("café-crème", "cafe-creme"), ("héllo", "héllo"), ("日本語", "日本語x"),
+      // longer than the 512-byte scratch seed (forces buffer growth)
+      (str("abcd", 700), str("abcd", 650))) ++
+      (0 until 300).map(_ => (str("abcdef ", rnd.nextInt(30)),
+        str("abcdef ", rnd.nextInt(30))))
+    cases.foreach { case (a, b) =>
+      val viaBytes = JaroWinklerImpl.sim(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(viaBytes === Similarity.jaroWinkler(a, b), s"'$a' vs '$b'")
+    }
+  }
+
   test("null inputs yield null (BinaryExpression null semantics)") {
     val df = Seq((Option("x"), Option.empty[String]),
       (Option.empty[String], Option("y")),
