@@ -330,9 +330,11 @@ object SparkEntry {
   }
 
   /** graft.norm.Normalize.stripVendorNoise (same 8 patterns, same order) */
-  private def sqlVendorNoise(e: String): String =
-    graft.norm.Normalize.vendorNoisePatterns.foldLeft(e)((acc, p) =>
+  private def sqlVendorNoise(e: String): String = {
+    val eaten = graft.norm.Normalize.vendorNoiseEaters.foldLeft(e)((acc, p) =>
       s"regexp_replace($acc, '(?i)$p', '', 'g')")
+    s"regexp_replace($eaten, '(?i)${graft.norm.Normalize.vendorNoiseStacked}', '', 'g')"
+  }
 
   /** graft.norm.Normalize.stripLangTags */
   private def sqlLangTags(e: String): String =

@@ -15,15 +15,31 @@ object Normalize {
 
   /** R5: vendor/marketing noise removal — site suffixes and trailer tags
     * seen in the WDC corpora (camers/single.py:43-46, computer/single.py:44,
-    * computer/procs.py:60-63). Case-insensitive, anchored at end. */
-  val vendorNoisePatterns: Seq[String] = Seq(
-    "\\s*\\|\\s*cdw\\.com.*$", "\\s+scan\\s+uk\\s*$", "\\s*@tweakers\\s*$",
-    "\\s*-\\s*newegg\\.com.*$", "\\s+best\\s+buy\\s*$", "\\s*\\(alternate\\)\\s*$",
-    "\\s*\\|\\s*ebay\\s*$", "\\s+black\\s+friday.*$")
+    * computer/procs.py:60-63). Case-insensitive, anchored at end.
+    *
+    * Two pattern families, applied in order (the SQL oracle twin
+    * `SparkEntry.sqlVendorNoise` is generated from these same lists, so
+    * Scala and DuckDB cannot drift):
+    *  - EATERS consume from their match point to end-of-string (site
+    *    suffix plus whatever trails it);
+    *  - TAGS are finite trailers. Web titles STACK them ("X scan uk
+    *    @tweakers"), so they strip as a repeated group in one pass —
+    *    per-pattern anchored replaces would leave the inner tag behind
+    *    and make normalization non-idempotent (caught by PropertiesSpec). */
+  val vendorNoiseEaters: Seq[String] = Seq(
+    "\\s*\\|\\s*cdw\\.com.*$", "\\s*-\\s*newegg\\.com.*$",
+    "\\s+black\\s+friday.*$")
+  val vendorNoiseTags: Seq[String] = Seq(
+    "\\s+scan\\s+uk", "\\s*@tweakers", "\\s+best\\s+buy",
+    "\\s*\\(alternate\\)", "\\s*\\|\\s*ebay")
+  val vendorNoiseStacked: String =
+    "(?:" + vendorNoiseTags.mkString("|") + ")+\\s*$"
 
   def stripVendorNoise(c: Column): Column =
-    vendorNoisePatterns.foldLeft(c)((acc, p) =>
-      regexp_replace(acc, "(?i)" + p, ""))
+    regexp_replace(
+      vendorNoiseEaters.foldLeft(c)((acc, p) =>
+        regexp_replace(acc, "(?i)" + p, "")),
+      "(?i)" + vendorNoiseStacked, "")
 
   /** Lang-tag + quote strip (computer.py:54 semantics, generalized to any
     * `@xx` tag at end-of-value). */

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.GraftFunctions
+import graft.norm.Normalize
+import graft.score.Similarity
+
+/**
+ * Property-based tests (SURVEY.md §5): ScalaCheck generators drive the
+ * inputs; assertions run as ONE Spark job per property over the whole
+ * generated batch (per-case Spark jobs would be pathologically slow).
+ * Generation is seeded, so failures reproduce exactly.
+ */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic sample of n values from a generator. */
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  // Noisy web-title-ish strings: reference-like fragments + unicode junk.
+  private val fragment = Gen.oneOf(
+    "Acer Aspire 5", "intel core i7", "  SCAN UK ", "@Tweakers", "\"14\"\"\"",
+    "HP-EliteBook 840-G5", "@en", "Black Friday", "16GB/512GB", "USD 1,299.00",
+    "Hewlett Packard", "   ", "corp.", "co.", "CS2", "é-crème", "日本語", "&amp;")
+  private val noisyTitle: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(k => Gen.listOfN(k, fragment)).map(_.mkString(" "))
+  private val junk: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr, Gen.listOfN(40, Gen.choose(32, 0x2FFF)).map(_.map(_.toChar).mkString),
+    Gen.const(null.asInstanceOf[String]), Gen.const(""), Gen.const("\t  "))
+
+  test("P: canonicalTitle is idempotent (f(f(x)) == f(x))") {
+    val xs = sample(noisyTitle, 400, seed = 1L)
+    val df = xs.toDF("x")
+      .select(Normalize.canonicalTitle($"x").as("once"))
+      .select($"once", Normalize.canonicalTitle($"once").as("twice"))
+    val bad = df.where(not($"once" <=> $"twice")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("P: similarity measures are symmetric and land in [0,1]") {
+    val pairs = sample(Gen.zip(noisyTitle, noisyTitle), 400, seed = 2L)
+    val df = pairs.toDF("a", "b").select(
+      Similarity.jaro_winkler($"a", $"b").as("jw_ab"),
+      Similarity.jaro_winkler($"b", $"a").as("jw_ba"),
+      Similarity.levenshteinRatio($"a", $"b").as("lr"),
+      Similarity.jaccard(GraftFunctions.tokens($"a"), GraftFunctions.tokens($"b")).as("jac"),
+      Similarity.jaccard(GraftFunctions.tokens($"b"), GraftFunctions.tokens($"a")).as("jac2"),
+      Similarity.tokenCosine(GraftFunctions.tokens($"a"), GraftFunctions.tokens($"b")).as("cos"))
+    val bad = df.where(
+      not($"jw_ab" <=> $"jw_ba") || not($"jac" <=> $"jac2") ||
+        $"jw_ab" < 0 || $"jw_ab" > 1 || $"lr" < 0 || $"lr" > 1 ||
+        $"jac" < 0 || $"jac" > 1 || $"cos" < 0 || $"cos" > 1.0000001).collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  test("P: coercions are total on arbitrary junk under ANSI mode (never throw)") {
+    val xs = sample(junk, 500, seed = 3L)
+    val df = xs.toDF("x").select(
+      GraftFunctions.priceParse($"x").as("price"),
+      GraftFunctions.boolCoerce($"x").as("bool"),
+      GraftFunctions.timeNormalize($"x").as("time"),
+      GraftFunctions.dateNormalize($"x").as("date"),
+      GraftFunctions.yearExtract($"x").as("year"),
+      GraftFunctions.abvParse($"x").as("abv"),
+      GraftFunctions.parseColValRobust($"x").as("colval"))
+    assert(df.count() === xs.length) // full evaluation, no exception
+  }
+
+  test("P: COL/VAL render ∘ parse == cleaned map for well-formed lines") {
+    val key = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+    // canonical values: single-space-joined alphanumeric words (the robust
+    // parser collapses runs of whitespace, so only canonical values can
+    // round-trip exactly)
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(10).mkString)
+      .suchThat(w => !w.contains("COL") && !w.contains("VAL"))
+    val value = Gen.chooseNum(1, 6)
+      .flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val record = Gen.nonEmptyListOf(Gen.zip(key, value)).map(_.take(5).toMap)
+    val recs = sample(record, 200, seed = 4L)
+    val lines = recs.map(m =>
+      m.map { case (k, v) => s"COL $k VAL $v" }.mkString(" "))
+    val parsed = lines.toDF("line")
+      .select(GraftFunctions.parseColValRobust($"line").as("m"))
+      .collect().map(_.getMap[String, String](0).toMap)
+    parsed.zip(recs).foreach { case (got, want) =>
+      // robust parser lowercases keys and collapses whitespace — our
+      // generated keys/values are already canonical, so equality is exact
+      assert(got === want, s"parse mismatch: $got vs $want")
+    }
+  }
+
+  test("P: F1 stays in [0,1] on random confusion tables") {
+    val rows = sample(Gen.zip(Gen.oneOf(0, 1), Gen.oneOf(0, 1)), 300, seed = 5L)
+    val df = rows.toDF("gold", "pred")
+    val m = graft.eval.Metrics.prf1(df).collect()(0)
+    Seq("precision", "recall", "f1").foreach { c =>
+      val v = m.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+    }
+  }
+}
