@@ -55,6 +55,32 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in extract:\n$plan")
   }
 
+  test("ER candidate join shuffles slim block rows, never titles/token arrays") {
+    // at-scale (shuffle-join) config: the block-key self-join and pair
+    // dedup must exchange only (block_key, id, token_fp)-shaped rows;
+    // payloads may move only through the post-dedup id-join attach.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so the compiled plan's exchanges are directly inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val cfg = graft.pipeline.ERPipeline.Config(payloadBroadcastMaxRows = 0L)
+    val ex = graft.pipeline.ERPipeline.extract(
+      graft.gen.PageGen.pages(spark, 80, seed = 2L)).localCheckpoint()
+    val blocked = graft.pipeline.ERPipeline.block(ex, cfg, Some(ex.count()))
+    val (scored, _) = graft.pipeline.ERPipeline.scorePairs(ex, blocked, cfg)
+    val exchanges = scored.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    val blockJoinExchanges = exchanges.filter(_.exists(_.contains("block_key")))
+    assert(blockJoinExchanges.nonEmpty, s"no block-key exchange found: $exchanges")
+    blockJoinExchanges.foreach { cols =>
+      assert(!cols.exists(c => c.contains("norm_title") || c.contains("tokens")),
+        s"payload column shuffled through the candidate join: $cols")
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("anti-join stays a broadcast on a small build side") {
     val plan = planString(SparkEntry.queries("q5_anti_join")(spark, dir))
     assert(plan.contains("BroadcastHashJoin") &&
