@@ -32,6 +32,15 @@ import graft.score.Similarity
  */
 object ERPipeline {
 
+  /** Score weights (jw/lev are per-char string similarities, cos/jac
+    * token-set measures). jw + lev's combined weight is also the
+    * prune-bound headroom in scorePairs — keep them in sync by
+    * construction. */
+  private val wJw = 0.25
+  private val wLev = 0.15
+  private val wCos = 0.30
+  private val wJac = 0.30
+
   // Band geometry: same-entity pages have identical normalized token sets
   // (sig collision P=1 in every band), so recall stays 1.0 while 6-row
   // bands suppress near-miss cross-entity collisions (P = j^6 per band —
@@ -162,9 +171,12 @@ object ERPipeline {
     // Upper-bound prune (see Config.pruneHeavySims): evaluate the cheap
     // token-set measures first; run the edit-distance loops only when the
     // pair could still reach the clustering threshold with perfect string
-    // scores. `when` short-circuits per row inside codegen.
+    // scores (jw = lev = 1, their combined weight wJw + wLev). The bound
+    // is DERIVED from the same weight constants as the score, so changing
+    // the weights can never silently break prune soundness. `when`
+    // short-circuits per row inside codegen.
     val reachable =
-      lit(0.25) + lit(0.15) + lit(0.30) * cos + lit(0.30) * jac >=
+      lit(wJw + wLev) + lit(wCos) * cos + lit(wJac) * jac >=
         lit(cfg.scoreThreshold)
     val jw = if (cfg.pruneHeavySims) when(reachable, jwRaw).otherwise(lit(0.0)) else jwRaw
     val lev = if (cfg.pruneHeavySims) when(reachable, levRaw).otherwise(lit(0.0)) else levRaw
@@ -173,7 +185,7 @@ object ERPipeline {
     val modelsDisjoint = size(col("l_model_tokens")) > 0 &&
       size(col("r_model_tokens")) > 0 &&
       size(array_intersect(col("l_model_tokens"), col("r_model_tokens"))) === 0
-    val raw = lit(0.25) * jw + lit(0.15) * lev + lit(0.30) * cos + lit(0.30) * jac
+    val raw = lit(wJw) * jw + lit(wLev) * lev + lit(wCos) * cos + lit(wJac) * jac
     val scored = pairs
       .withColumn("jw", jw).withColumn("lev", lev)
       .withColumn("cosine", cos).withColumn("jaccard", jac)
