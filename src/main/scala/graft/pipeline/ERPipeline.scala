@@ -90,12 +90,15 @@ object ERPipeline {
       maxCcIterations: Int = 50)
 
   /** Stage 1: canonical text per url (per-row invariant vs the reference
-    * extractor — GraftFunctions.extractTitleUdf is the parity chain). */
-  def extract(pages: DataFrame): DataFrame =
+    * extractor — GraftFunctions.extractTitleUdf is the parity chain).
+    * @param carryCols extra input columns to pass through unchanged (e.g.
+    *   the event timestamp when extracting on a stream). */
+  def extract(pages: DataFrame, carryCols: Seq[String] = Nil): DataFrame =
     pages.select(
+      carryCols.map(col) ++ Seq(
       col("url"),
       xxhash64(col("url")).as("id"),
-      GraftFunctions.extractTitleUdf(col("text")).as("canonical_text"))
+      GraftFunctions.extractTitleUdf(col("text")).as("canonical_text")): _*)
       .withColumn("norm_title", Normalize.canonicalTitle(col("canonical_text")))
       .withColumn("tokens", GraftFunctions.tokens(col("norm_title")))
       .withColumn("model_tokens", Normalize.modelTokens(col("norm_title")))

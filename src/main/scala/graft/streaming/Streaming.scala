@@ -46,6 +46,76 @@ object Streaming {
     docs.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ER ingest: score a STREAM of newly-crawled pages against a
+    * STATIC pre-blocked corpus — the incremental-matching shape of a
+    * production linkage system (the batch pipeline re-clusters; the stream
+    * answers "which known entity does this new page match?" at ingest
+    * latency).
+    *
+    * Spark-first shape: a stream-static equi-join on blocking keys.
+    *  - Corpus side (static): `ERPipeline.extract` + `ERPipeline.block`
+    *    run ONCE batch-side; pass the result in. Slim (block_key, id)
+    *    rows join; payloads attach by a second static id-join.
+    *  - Stream side: extraction and LSH banding are pure per-row column
+    *    expressions, so they run incrementally with no state. The corpus
+    *    DF-stoplist CANNOT be recomputed on a stream (it is an aggregate),
+    *    so it is passed in as a literal array — token DF drifts slowly, so
+    *    a corpus-derived stoplist is the right operating point.
+    *  - A candidate pair surfaces once per shared band; the (l_id, r_id)
+    *    dedup is stateful on a stream, so it is watermark-bounded
+    *    (`dropDuplicatesWithinWatermark`) — state holds only pairs seen
+    *    within the lateness horizon, per the 10^12-event design rule.
+    *
+    * Returns append-mode matches (ts, l_id = stream page, r_id = corpus
+    * page, urls, score) at or above `cfg.scoreThreshold`. */
+  def streamingMatches(newPages: DataFrame, corpusExtracted: DataFrame,
+      corpusBlocked: DataFrame, stopTokens: Seq[String],
+      cfg: graft.pipeline.ERPipeline.Config = graft.pipeline.ERPipeline.Config(),
+      lateness: String = "1 hour"): DataFrame = {
+    import graft.block.Blocking
+    import graft.pipeline.ERPipeline
+    import graft.score.Similarity
+
+    val ex = ERPipeline.extract(
+      newPages.select("ts", "url", "text"), carryCols = Seq("ts"))
+    val lshTokens =
+      if (stopTokens.isEmpty) col("tokens")
+      else array_except(col("tokens"), array(stopTokens.map(lit): _*))
+    val lsh = Blocking.minhashBlocks(
+      ex.withColumn("lsh_tokens", lshTokens), col("lsh_tokens"),
+      cfg.minhashBands, cfg.minhashRows).drop("lsh_tokens")
+    val fp = ex.withColumn("block_key", col("token_fp"))
+    // The STREAM side carries its payload through (a micro-batch is tiny —
+    // ingest-rate-sized); a payload re-attach by id would be a
+    // stream-stream self-join, which is the wrong tool here. The CORPUS
+    // side — the at-scale table — joins slim and attaches payload by a
+    // static id-join after the dedup.
+    val streamBlocked = lsh.unionByName(fp.select(lsh.columns.map(col): _*))
+      .select(col("ts"), col("block_key"), col("id").as("l_id"),
+        col("url").as("l_url"), col("norm_title").as("l_norm_title"),
+        col("tokens").as("l_tokens"))
+
+    val corpusSlim = corpusBlocked.select(col("block_key"), col("id").as("r_id"))
+    val pairs = streamBlocked.join(corpusSlim, Seq("block_key"))
+      .where(col("l_id") =!= col("r_id"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("l_id", "r_id")
+    val rPay = corpusExtracted.select(col("id").as("r_id"),
+      col("url").as("r_url"), col("norm_title").as("r_norm_title"),
+      col("tokens").as("r_tokens"))
+    val jw = Similarity.jaro_winkler(col("l_norm_title"), col("r_norm_title"))
+    val lev = Similarity.levenshteinRatio(col("l_norm_title"), col("r_norm_title"))
+    val cos = Similarity.tokenCosine(col("l_tokens"), col("r_tokens"))
+    val jac = Similarity.jaccard(col("l_tokens"), col("r_tokens"))
+    pairs
+      .join(rPay, Seq("r_id"))
+      .withColumn("score",
+        lit(0.25) * jw + lit(0.15) * lev + lit(0.30) * cos + lit(0.30) * jac)
+      .where(col("score") >= cfg.scoreThreshold)
+      .select(col("ts"), col("l_id"), col("r_id"), col("l_url"), col("r_url"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Incremental per-entity ingestion profile (ER streaming state). */
   case class PageEvent(entity_key: Long, url: String, title: String,
       ts: java.sql.Timestamp)

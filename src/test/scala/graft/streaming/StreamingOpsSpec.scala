@@ -35,6 +35,55 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ER ingest matches new pages to their planted corpus entity") {
+    implicit val sq = spark.sqlContext
+    import graft.pipeline.ERPipeline
+    import graft.gen.PageGen
+    val cfg = ERPipeline.Config(maxTokenDf = 1.0) // empty stoplist: stream
+                                                  // and corpus key families
+                                                  // must agree in this spec
+    val truth = PageGen.pagesWithTruth(spark, 40, seed = 31L)
+      .select("url", "entity_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = PageGen.pages(spark, 40, seed = 31L)
+    val cex = ERPipeline.extract(corpus).localCheckpoint()
+    val cblocked = ERPipeline.block(cex, cfg, Some(cex.count())).localCheckpoint()
+    val idToUrl = cex.select("id", "url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // "newly crawled" pages: a slice of the same generated crawl, streamed
+    val newRows = corpus.select("url", "text").collect().take(12)
+      .map(r => (ts("2026-01-01 10:00:00"), r.getString(0), r.getString(1)))
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    val stream = in.toDF().toDF("ts", "url", "text")
+    val matches = Streaming.streamingMatches(stream, cex, cblocked,
+      stopTokens = Nil, cfg = cfg)
+    val q = matches.writeStream.format("memory").queryName("er_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(newRows.take(6).toSeq)
+      q.processAllAvailable()
+      in.addData(newRows.drop(6).toSeq)
+      q.processAllAvailable()
+      val out = spark.table("er_stream_out")
+        .select("l_url", "r_id").collect()
+        .map(r => (r.getString(0), idToUrl(r.getLong(1))))
+      assert(out.nonEmpty)
+      // precision: no match may cross planted entities
+      out.foreach { case (lUrl, rUrl) =>
+        assert(truth(lUrl) === truth(rUrl), s"cross-entity match $lUrl ~ $rUrl")
+      }
+      // recall: every streamed page with a same-entity sibling in the
+      // corpus must match at least one of them
+      val matchedL = out.map(_._1).toSet
+      newRows.map(_._2).foreach { url =>
+        val siblings = truth.count { case (u, e) => e == truth(url) && u != url }
+        if (siblings > 0)
+          assert(matchedL.contains(url), s"streamed page $url found no sibling")
+      }
+    } finally q.stop()
+  }
+
   test("entity profile state is evicted after the event-time ttl") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Streaming.PageEvent]
