@@ -75,9 +75,21 @@ object PipelineApp {
           coalesce(col("component"), col("id")).as("component"))
     }
 
+    // Planted-truth evaluation only applies to generated corpora; an
+    // external --input corpus has no labels, so the metrics stage reports
+    // cluster-shape statistics instead of a meaningless empty-label P/R/F1.
     val metrics = Snapshots.getOrCompute(spark, workRoot, "metrics") {
-      val labels = PageGen.labeledPairs(spark, nEntities, seed)
-      ERPipeline.evaluate(clusters, labels)
+      if (inputPath.isEmpty) {
+        val labels = PageGen.labeledPairs(spark, nEntities, seed)
+        ERPipeline.evaluate(clusters, labels)
+      } else {
+        val sizes = clusters.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        sizes.agg(
+          coalesce(sum(col("cluster_size")), lit(0L)).as("n_pages"),
+          count(lit(1)).as("n_clusters"),
+          coalesce(max(col("cluster_size")), lit(0L)).as("max_cluster_size"))
+      }
     }
     metrics.show(truncate = false)
     clusters

@@ -24,11 +24,13 @@ object Metrics {
   def prf1(pairs: DataFrame, goldCol: String = "gold",
       predCol: String = "pred"): DataFrame = {
     val g = col(goldCol); val p = col(predCol)
+    // coalesce: sum over ZERO pairs is NULL — an empty label set must read
+    // as all-zero counts (P=R=F1=0), not a row of NULLs
     pairs.agg(
-      sum(when(g === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
-      sum(when(g === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
-      sum(when(g === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
-      sum(when(g === 0 && p === 0, 1L).otherwise(0L)).as("tn"))
+      coalesce(sum(when(g === 1 && p === 1, 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(g === 0 && p === 1, 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(g === 1 && p === 0, 1L).otherwise(0L)), lit(0L)).as("fn"),
+      coalesce(sum(when(g === 0 && p === 0, 1L).otherwise(0L)), lit(0L)).as("tn"))
     .withColumn("precision",
       when(col("tp") + col("fp") === 0, 0.0)
         .otherwise(col("tp") / (col("tp") + col("fp"))))
