@@ -42,8 +42,16 @@ object SparkEntry {
       : DataFrame = {
     val path = s"$stageRoot/$name"
     df.write.mode("overwrite").parquet(path)
+    stagedThisJvm.add(name)
     spark.read.parquet(path)
   }
+
+  /** Stage names written by THIS JVM. Cross-query reuse (er_f1 reading
+    * er_clusters' staged output) must only trust same-JVM stages: the
+    * stage dir persists across runs, so a stale file from a previous
+    * build would otherwise be evaluated — and oracle-validated — silently. */
+  private val stagedThisJvm =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full ER pipeline over a generated 300-entity page corpus: extract →
@@ -211,10 +219,13 @@ object SparkEntry {
     "er_f1" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // Reuse the clustering er_clusters already staged (identical seed/
       // size — content is value-identical by determinism); falling back to
-      // a fresh pipeline run keeps the query independently runnable.
+      // a fresh pipeline run keeps the query independently runnable. Only
+      // a SAME-JVM stage is trusted — a stage file surviving from a
+      // previous build could encode different pipeline semantics.
       val clPath = s"$stageRoot/er_clusters_out"
       val cl =
-        if (new java.io.File(s"$clPath/_SUCCESS").exists())
+        if (stagedThisJvm.contains("er_clusters_out") &&
+            new java.io.File(s"$clPath/_SUCCESS").exists())
           s.read.parquet(clPath)
         else {
           val (c, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))

@@ -154,11 +154,18 @@ object Ann {
 
   /** Per-query probed-candidate counts — the recall-collapse telemetry: a
     * query whose probed lists hold almost no candidates (n_candidates ≪
-    * corpus/nlist × nprobe) signals a degenerate quantizer. One tiny
-    * aggregate over the candidate scan. */
-  def ivfProbeStats(candidates: DataFrame): DataFrame =
-    candidates.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_candidates"))
+    * corpus/nlist × nprobe) signals a degenerate quantizer. `queryIds`
+    * (a `query_id` column) anchors the output: the FULLY degenerate case —
+    * a query whose probed lists are all empty — must surface as an
+    * explicit n_candidates = 0 row, not silently vanish from the stats
+    * (the worst-affected queries are exactly the ones an alert must see). */
+  def ivfProbeStats(candidates: DataFrame, queryIds: DataFrame): DataFrame =
+    queryIds.select(col("query_id")).distinct()
+      .join(candidates.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_candidates")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
 
   /** IVF top-k: exact cosine re-ranking inside the probed lists. With
     * nprobe = nlist (full probe) this reproduces bruteForceTopK exactly —

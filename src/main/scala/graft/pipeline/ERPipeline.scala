@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.block.Blocking
 import graft.cluster.ConnectedComponents
@@ -108,16 +108,25 @@ object ERPipeline {
     * families: the exact token-set fingerprint (recall = 1.0 for records
     * that normalize identically, immune to LSH geometry) plus MinHash-LSH
     * bands for fuzzy matches; optional normalized-domain family. */
-  def block(extracted: DataFrame, cfg: Config,
-      nRows: Option[Long] = None): DataFrame = {
-    // High-DF token stoplist (two scale-free jobs: agg + tiny collect).
+  /** High-DF token stoplist over an extracted corpus (two scale-free
+    * jobs: agg + tiny collect). PUBLIC because every key-generation twin
+    * of this pipeline — notably `Streaming.streamingMatches` — must use
+    * the SAME stoplist as `block()` or its band keys silently stop
+    * colliding with the corpus's. */
+  def tokenStoplist(extracted: DataFrame, cfg: Config,
+      nRows: Option[Long] = None): Seq[String] = {
     val n = nRows.getOrElse(extracted.count())
     val maxDf = math.max(1L, (n * cfg.maxTokenDf).toLong)
-    val stop = extracted
+    extracted
       .select(explode(array_distinct(col("tokens"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
-      .select("t").collect().map(_.getString(0)).sorted
+      .select("t").collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  def block(extracted: DataFrame, cfg: Config,
+      nRows: Option[Long] = None): DataFrame = {
+    val stop = tokenStoplist(extracted, cfg, nRows)
     val lshTokens =
       if (stop.isEmpty) col("tokens")
       else array_except(col("tokens"), array(stop.map(lit): _*))
@@ -134,6 +143,42 @@ object ERPipeline {
       xxhash64(Blocking.saltKey(
         Blocking.normalizedDomain(col("url")), col("id"), cfg.domainSalts)))
       .select(lsh.columns.map(col): _*))
+  }
+
+  /** Similarity columns + weighted score over `l_`/`r_`-prefixed payload
+    * columns (l_norm_title, l_tokens, l_model_tokens / r_…). The SINGLE
+    * source of the weights, the R6 preserve-specificity guard, and the
+    * upper-bound pruning for BOTH the batch scorer and the streaming twin
+    * (`Streaming.streamingMatches`) — duplicating this formula would let
+    * the stream and the batch re-cluster disagree silently. */
+  final case class PairSims(jw: Column, lev: Column, cos: Column,
+      jac: Column, score: Column)
+
+  def pairSims(cfg: Config): PairSims = {
+    val jwRaw = Similarity.jaro_winkler(col("l_norm_title"), col("r_norm_title"))
+    val levRaw = Similarity.levenshteinRatio(col("l_norm_title"), col("r_norm_title"))
+    val cos = Similarity.tokenCosine(col("l_tokens"), col("r_tokens"))
+    val jac = Similarity.jaccard(col("l_tokens"), col("r_tokens"))
+    // Upper-bound prune (see Config.pruneHeavySims): evaluate the cheap
+    // token-set measures first; run the edit-distance loops only when the
+    // pair could still reach the clustering threshold with perfect string
+    // scores (jw = lev = 1, their combined weight wJw + wLev). The bound
+    // is DERIVED from the same weight constants as the score, so changing
+    // the weights can never silently break prune soundness. `when`
+    // short-circuits per row inside codegen.
+    val reachable =
+      lit(wJw + wLev) + lit(wCos) * cos + lit(wJac) * jac >=
+        lit(cfg.scoreThreshold)
+    val jw = if (cfg.pruneHeavySims) when(reachable, jwRaw).otherwise(lit(0.0)) else jwRaw
+    val lev = if (cfg.pruneHeavySims) when(reachable, levRaw).otherwise(lit(0.0)) else levRaw
+    // R6 preserve-specificity guard: disjoint model-number tokens on both
+    // sides is strong evidence of distinct entities.
+    val modelsDisjoint = size(col("l_model_tokens")) > 0 &&
+      size(col("r_model_tokens")) > 0 &&
+      size(array_intersect(col("l_model_tokens"), col("r_model_tokens"))) === 0
+    val raw = lit(wJw) * jw + lit(wLev) * lev + lit(wCos) * cos + lit(wJac) * jac
+    PairSims(jw, lev, cos, jac,
+      when(modelsDisjoint, raw * 0.5).otherwise(raw))
   }
 
   /** Stage 3+4: candidate pairs + scores. Returns scored pairs plus the
@@ -167,32 +212,11 @@ object ERPipeline {
     val pairs = idPairs
       .join(side("l_"), Seq("l_id"))
       .join(side("r_"), Seq("r_id"))
-    val jwRaw = Similarity.jaro_winkler(col("l_norm_title"), col("r_norm_title"))
-    val levRaw = Similarity.levenshteinRatio(col("l_norm_title"), col("r_norm_title"))
-    val cos = Similarity.tokenCosine(col("l_tokens"), col("r_tokens"))
-    val jac = Similarity.jaccard(col("l_tokens"), col("r_tokens"))
-    // Upper-bound prune (see Config.pruneHeavySims): evaluate the cheap
-    // token-set measures first; run the edit-distance loops only when the
-    // pair could still reach the clustering threshold with perfect string
-    // scores (jw = lev = 1, their combined weight wJw + wLev). The bound
-    // is DERIVED from the same weight constants as the score, so changing
-    // the weights can never silently break prune soundness. `when`
-    // short-circuits per row inside codegen.
-    val reachable =
-      lit(wJw + wLev) + lit(wCos) * cos + lit(wJac) * jac >=
-        lit(cfg.scoreThreshold)
-    val jw = if (cfg.pruneHeavySims) when(reachable, jwRaw).otherwise(lit(0.0)) else jwRaw
-    val lev = if (cfg.pruneHeavySims) when(reachable, levRaw).otherwise(lit(0.0)) else levRaw
-    // R6 preserve-specificity guard: disjoint model-number tokens on both
-    // sides is strong evidence of distinct entities.
-    val modelsDisjoint = size(col("l_model_tokens")) > 0 &&
-      size(col("r_model_tokens")) > 0 &&
-      size(array_intersect(col("l_model_tokens"), col("r_model_tokens"))) === 0
-    val raw = lit(wJw) * jw + lit(wLev) * lev + lit(wCos) * cos + lit(wJac) * jac
+    val sims = pairSims(cfg)
     val scored = pairs
-      .withColumn("jw", jw).withColumn("lev", lev)
-      .withColumn("cosine", cos).withColumn("jaccard", jac)
-      .withColumn("score", when(modelsDisjoint, raw * 0.5).otherwise(raw))
+      .withColumn("jw", sims.jw).withColumn("lev", sims.lev)
+      .withColumn("cosine", sims.cos).withColumn("jaccard", sims.jac)
+      .withColumn("score", sims.score)
     (scored, drops)
   }
 

@@ -59,8 +59,12 @@ object Streaming {
     *  - Stream side: extraction and LSH banding are pure per-row column
     *    expressions, so they run incrementally with no state. The corpus
     *    DF-stoplist CANNOT be recomputed on a stream (it is an aggregate),
-    *    so it is passed in as a literal array — token DF drifts slowly, so
-    *    a corpus-derived stoplist is the right operating point.
+    *    so pass `ERPipeline.tokenStoplist(corpusExtracted, cfg)` — the
+    *    SAME list `ERPipeline.block` used. A mismatched stoplist makes the
+    *    stream's band keys silently stop colliding with the corpus's
+    *    (fuzzy recall collapses to exact-fingerprint matches only); token
+    *    DF drifts slowly, so the corpus-derived list is the right operating
+    *    point between corpus rebuilds.
     *  - A candidate pair surfaces once per shared band; the (l_id, r_id)
     *    dedup is stateful on a stream, so it is watermark-bounded
     *    (`dropDuplicatesWithinWatermark`) — state holds only pairs seen
@@ -74,7 +78,6 @@ object Streaming {
       lateness: String = "1 hour"): DataFrame = {
     import graft.block.Blocking
     import graft.pipeline.ERPipeline
-    import graft.score.Similarity
 
     val ex = ERPipeline.extract(
       newPages.select("ts", "url", "text"), carryCols = Seq("ts"))
@@ -93,7 +96,7 @@ object Streaming {
     val streamBlocked = lsh.unionByName(fp.select(lsh.columns.map(col): _*))
       .select(col("ts"), col("block_key"), col("id").as("l_id"),
         col("url").as("l_url"), col("norm_title").as("l_norm_title"),
-        col("tokens").as("l_tokens"))
+        col("tokens").as("l_tokens"), col("model_tokens").as("l_model_tokens"))
 
     val corpusSlim = corpusBlocked.select(col("block_key"), col("id").as("r_id"))
     val pairs = streamBlocked.join(corpusSlim, Seq("block_key"))
@@ -102,15 +105,13 @@ object Streaming {
       .dropDuplicatesWithinWatermark("l_id", "r_id")
     val rPay = corpusExtracted.select(col("id").as("r_id"),
       col("url").as("r_url"), col("norm_title").as("r_norm_title"),
-      col("tokens").as("r_tokens"))
-    val jw = Similarity.jaro_winkler(col("l_norm_title"), col("r_norm_title"))
-    val lev = Similarity.levenshteinRatio(col("l_norm_title"), col("r_norm_title"))
-    val cos = Similarity.tokenCosine(col("l_tokens"), col("r_tokens"))
-    val jac = Similarity.jaccard(col("l_tokens"), col("r_tokens"))
+      col("tokens").as("r_tokens"), col("model_tokens").as("r_model_tokens"))
+    // SAME weights, R6 model-token guard and pruning as the batch scorer —
+    // one formula, one source (ERPipeline.pairSims)
+    val sims = ERPipeline.pairSims(cfg)
     pairs
       .join(rPay, Seq("r_id"))
-      .withColumn("score",
-        lit(0.25) * jw + lit(0.15) * lev + lit(0.30) * cos + lit(0.30) * jac)
+      .withColumn("score", sims.score)
       .where(col("score") >= cfg.scoreThreshold)
       .select(col("ts"), col("l_id"), col("r_id"), col("l_url"), col("r_url"),
         round(col("score"), 6).as("score"))

@@ -110,8 +110,12 @@ object TextAnalysis {
     val f = udf { (s0: String) =>
       if (s0 == null) Array.empty[Long]
       else {
-        val s = s0.toLowerCase(java.util.Locale.ROOT)
-        val n = s.length - k + 1
+        // hash UNICODE CODE POINTS, not UTF-16 code units: a supplementary
+        // character (emoji) is ONE gram position, matching the DuckDB
+        // oracle's per-character unicode(ch) and any engine that thinks in
+        // codepoints. (charAt would split it into two surrogates.)
+        val cps = s0.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+        val n = cps.length - k + 1
         if (n <= 0) Array.empty[Long]
         else {
           // rolling k-gram hashes, base 31 (no mod: 64-bit wraparound)
@@ -121,11 +125,11 @@ object TextAnalysis {
           val hs = new Array[Long](n)
           var h = 0L
           var i = 0
-          while (i < k) { h = 31 * h + s.charAt(i); i += 1 }
+          while (i < k) { h = 31 * h + cps(i); i += 1 }
           hs(0) = h
           i = 1
           while (i < n) {
-            h = (h - s.charAt(i - 1) * pow) * 31 + s.charAt(i + k - 1)
+            h = (h - cps(i - 1) * pow) * 31 + cps(i + k - 1)
             hs(i) = h
             i += 1
           }

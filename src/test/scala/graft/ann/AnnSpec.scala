@@ -104,13 +104,24 @@ class AnnSpec extends SparkSuite {
 
   test("IVF probe stats expose per-query candidate counts") {
     val emb = fixture(30, 16)   // 60 vectors incl. planted dups
+    val queryIds = emb.orderBy($"vec_id").limit(5)
+      .select($"vec_id".as("query_id"))
     val stats = Ann.ivfProbeStats(
-      Ann.ivfCandidates(emb, nQueries = 5, nlist = 8, nprobe = 8))
+      Ann.ivfCandidates(emb, nQueries = 5, nlist = 8, nprobe = 8), queryIds)
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_candidates"))
       .toMap
     assert(stats.size === 5)
     // full probe ⇒ every query sees the whole corpus minus itself
     stats.foreach { case (q, n) => assert(n === 59L, s"query $q saw $n") }
+    // the fully-degenerate case must SURFACE as an explicit zero row, not
+    // vanish: a query id with no candidates at all
+    val ghost = Seq(-1L).toDF("query_id")
+    val z = Ann.ivfProbeStats(
+      Ann.ivfCandidates(emb, nQueries = 5, nlist = 8, nprobe = 8),
+      queryIds.union(ghost))
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_candidates"))
+      .toMap
+    assert(z(-1L) === 0L)
   }
 
   test("signature is deterministic across partitionings") {

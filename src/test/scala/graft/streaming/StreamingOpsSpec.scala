@@ -39,14 +39,14 @@ class StreamingOpsSpec extends SparkSuite {
     implicit val sq = spark.sqlContext
     import graft.pipeline.ERPipeline
     import graft.gen.PageGen
-    val cfg = ERPipeline.Config(maxTokenDf = 1.0) // empty stoplist: stream
-                                                  // and corpus key families
-                                                  // must agree in this spec
+    val cfg = ERPipeline.Config() // default DF-stoplist: the stream side
+                                  // must consume the SAME list block() used
     val truth = PageGen.pagesWithTruth(spark, 40, seed = 31L)
       .select("url", "entity_id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val corpus = PageGen.pages(spark, 40, seed = 31L)
     val cex = ERPipeline.extract(corpus).localCheckpoint()
+    val stop = ERPipeline.tokenStoplist(cex, cfg, Some(cex.count()))
     val cblocked = ERPipeline.block(cex, cfg, Some(cex.count())).localCheckpoint()
     val idToUrl = cex.select("id", "url").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -57,7 +57,7 @@ class StreamingOpsSpec extends SparkSuite {
     val in = MemoryStream[(java.sql.Timestamp, String, String)]
     val stream = in.toDF().toDF("ts", "url", "text")
     val matches = Streaming.streamingMatches(stream, cex, cblocked,
-      stopTokens = Nil, cfg = cfg)
+      stopTokens = stop, cfg = cfg)
     val q = matches.writeStream.format("memory").queryName("er_stream_out")
       .outputMode("append").start()
     try {
