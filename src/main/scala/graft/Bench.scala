@@ -52,23 +52,41 @@ object Bench {
           .limit(50),
         graft.convert.DittoConverter.Config()).count()
     }
+    // Noise robustness: this shared VM has host-contention phases that can
+    // inflate a single measurement ~20× (BENCH_r03's convert_ditto: 172 s
+    // recorded vs 9 s reproduced — see BENCH/BASELINE.md). Each query runs
+    // `reps` times; the reported figure is the MIN (the least-contended
+    // run; work is deterministic, so min is the honest hardware number)
+    // and `spread` records max-min per query so a noisy round is visible
+    // in the artifact itself instead of rewriting history.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // A failed query must read as a FAILURE, not as a fast run.
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        // A failed query must read as a FAILURE, not as a fast run.
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+        }
+        r += 1
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, times.toSeq, err)
     }
     val qs = results.map {
-      case (k, v, None) => "\"" + k + f"""":$v%.3f"""
+      case (k, ts, None) => "\"" + k + f"""":${ts.min}%.3f"""
       case (k, _, Some(e)) => "\"" + k + "\":\"ERR: " + e + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val spread = results.collect { case (k, ts, None) =>
+      "\"" + k + f"""":${ts.max - ts.min}%.3f"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, ts, None) => ts.min }.sum
     val nErr = results.count(_._3.isDefined)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErr,"reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
