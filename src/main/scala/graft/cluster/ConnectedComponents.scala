@@ -54,7 +54,22 @@ object ConnectedComponents {
       val p = persist(df.observe(obs,
         count(lit(1)).as("cnt"),
         sum(xxhash64($"u", $"v").cast(DecimalType(38, 0))).as("cs")))
-      val m = obs.get // persist was eager, so this returns immediately
+      // An eager persist (localCheckpoint()/checkpoint(), the documented
+      // contract) has already run the job, so the metrics are ready and
+      // this is free. A LAZY persist (cache(), identity) would make a
+      // blind obs.get hang forever — detect the empty-metrics case and
+      // force one materializing action instead, so every historical
+      // persist signature still terminates (it just pays the extra job
+      // the eager path avoids).
+      var m = org.apache.spark.sql.graft.ColumnBridge.metricsOrEmpty(obs)
+      if (m.isEmpty) {
+        p.count()
+        m = org.apache.spark.sql.graft.ColumnBridge.metricsOrEmpty(obs)
+      }
+      require(m.nonEmpty,
+        "persist did not materialize its input and a forced count() did " +
+          "not surface observe metrics; pass an eager persist such as " +
+          "_.localCheckpoint() or _.checkpoint()")
       val cs = m("cs") match {
         case null => java.math.BigDecimal.ZERO
         case d: java.math.BigDecimal => d

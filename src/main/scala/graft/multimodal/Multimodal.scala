@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
  * as opaque `binary` columns with typed metadata; decode / feature
  * extraction runs partition-batched on executors.
  *
- * IMAGE decode is real: the JVM-bundled `javax.imageio` codecs (PNG, GIF,
- * BMP, JPEG — pure JVM, no native deps) decode pixels and produce a
- * luminance histogram. Payloads that are not decodable images (and audio/
- * video, for which the container has no codecs) fall back to the
- * clearly-marked deterministic `stubDecode`; the surrounding plumbing —
+ * IMAGE decode is real for LOSSLESS formats: the JVM-bundled
+ * `javax.imageio` codecs decode PNG/GIF/BMP pixels bit-exactly and produce
+ * a luminance histogram. JPEG is sniffed out and stubbed (its IDCT is
+ * implementation-dependent — see isLosslessImage). Payloads that are not
+ * lossless images (and audio/video, for which the container has no codecs)
+ * fall back to the clearly-marked deterministic `stubDecode`; the
+ * surrounding plumbing —
  * schema, partition batching, per-partition codec state, output shape —
  * is identical on both paths and is tested.
  */
@@ -29,6 +31,20 @@ object Multimodal {
     * pixel decode) or "stub" (deterministic fallback). */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, features: Array[Float], decoder: String)
+
+  /** True iff the payload's magic bytes identify a LOSSLESS format whose
+    * decode is bit-exact across JVM builds (PNG / GIF / BMP). JPEG is
+    * deliberately excluded: its IDCT is implementation-dependent, so JPEG
+    * checksums/histograms can differ across JVM versions — routing it
+    * through ImageIO would quietly break the framework's determinism
+    * contract. JPEG (and anything else) takes the deterministic stub path. */
+  def isLosslessImage(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 6 && (
+      (payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' &&
+        payload(3) == 'G') ||
+      (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == '8') ||
+      (payload(0) == 'B' && payload(1) == 'M'))
 
   /** Real image decode via ImageIO. Returns (checksum over ARGB pixels,
     * luminance histogram normalized to the pixel count, width, height), or
@@ -97,8 +113,13 @@ object Multimodal {
       // would be created here and amortized over the batch the same way.
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
+        // format sniff BEFORE ImageIO: only lossless formats (PNG/GIF/BMP)
+        // take the real-decode path — see isLosslessImage for why JPEG
+        // deliberately falls through to the deterministic stub.
         val real =
-          if (r.meta.kind == "image") decodeImage(r.payload, dim) else None
+          if (r.meta.kind == "image" && isLosslessImage(r.payload))
+            decodeImage(r.payload, dim)
+          else None
         real match {
           case Some((checksum, feats, _, _)) =>
             MediaFeatures(r.media_id, r.meta.kind, r.payload.length.toLong,

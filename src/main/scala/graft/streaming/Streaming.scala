@@ -72,6 +72,25 @@ object Streaming {
     *
     * Returns append-mode matches (ts, l_id = stream page, r_id = corpus
     * page, urls, score) at or above `cfg.scoreThreshold`. */
+  /** Hot-block discipline for the STATIC side of the stream-static join.
+    * The batch path splits oversized blocks by re-keying sub-blocks
+    * (Blocking.splitOversizedBlocks) — that is NOT available here: the
+    * stream side computes its block keys independently, so a re-keyed
+    * corpus sub-block would never collide with a streamed page's key
+    * again. Instead the corpus keeps its keys and caps rows per block
+    * deterministically (lowest ids win), bounding the fan-out of a
+    * degenerate hot key (e.g. an empty post-stoplist token set) to `cap`
+    * corpus rows per streamed page. Returns (capped slim corpus rows,
+    * drop-stats table (block_key, n_total, n_dropped)) — drops are
+    * surfaced, never silent. Production callers should persist the capped
+    * side (it is re-evaluated per micro-batch otherwise) and sink the
+    * stats next to the batch pipeline's cap_drops. */
+  def capCorpusBlocks(corpusBlocked: DataFrame, cap: Int)
+      : (DataFrame, DataFrame) =
+    graft.block.Blocking.capBlocks(
+      corpusBlocked.select(col("block_key"), col("id")),
+      "block_key", "id", cap)
+
   def streamingMatches(newPages: DataFrame, corpusExtracted: DataFrame,
       corpusBlocked: DataFrame, stopTokens: Seq[String],
       cfg: graft.pipeline.ERPipeline.Config = graft.pipeline.ERPipeline.Config(),
@@ -98,7 +117,11 @@ object Streaming {
         col("url").as("l_url"), col("norm_title").as("l_norm_title"),
         col("tokens").as("l_tokens"), col("model_tokens").as("l_model_tokens"))
 
-    val corpusSlim = corpusBlocked.select(col("block_key"), col("id").as("r_id"))
+    // Static side joins slim AND block-capped (see capCorpusBlocks): a
+    // degenerate hot block key must not fan every streamed page out to an
+    // unbounded corpus slice at ingest latency.
+    val corpusSlim = capCorpusBlocks(corpusBlocked, cfg.pairCapPerBlock)._1
+      .withColumnRenamed("id", "r_id")
     val pairs = streamBlocked.join(corpusSlim, Seq("block_key"))
       .where(col("l_id") =!= col("r_id"))
       .withWatermark("ts", lateness)

@@ -44,6 +44,17 @@ class MultimodalSpec extends SparkSuite {
 
     assert(feats(1L).decoder === "imageio")
     assert(feats(2L).decoder === "stub")
+    // JPEG decodes are IDCT/implementation-dependent — the format sniff
+    // must route them to the deterministic stub, not ImageIO
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jpg = jbos.toByteArray
+    assert(jpg(0) == 0xFF.toByte && jpg(1) == 0xD8.toByte) // really a JPEG
+    assert(!Multimodal.isLosslessImage(jpg))
+    val jfeat = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(3L, jpg, meta)).toDS(), dim = 16).collect()(0)
+    assert(jfeat.decoder === "stub")
+    assert(jfeat.checksum === Multimodal.stubDecode(jpg, 16)._1)
     // the real decode saw the pixels we wrote: direct decode agrees
     val Some((cs, hist, w, h)) = Multimodal.decodeImage(png, 16)
     assert((w, h) === (48, 32))
