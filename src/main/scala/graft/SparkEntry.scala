@@ -193,7 +193,32 @@ object SparkEntry {
         nlist = 8, nprobe = 8)
     }),
     "emb_neardup_lsh" -> ((s, dir) => { implicit val sp = s; import s.implicits._
-      Ann.cosineNearDupLsh(t(dir, "embeddings"), bits = 12, cosFloor = 0.9)
+      // Two populations through ONE production pair path: the testdata
+      // table (no pair ≥ 0.9 at any sf — the true-negative leg) plus a
+      // staged fixture with planted near-duplicates (EmbGen), so the LSH
+      // bucket join + multi-probe + verify chain is oracle-validated on
+      // NONZERO pairs, not only on the empty set. Fixture ids are
+      // 1e6-offset — disjoint from testdata vec_ids by construction.
+      val fixture = stageAndRead(s, "emb_neardup_fixture",
+        graft.gen.EmbGen.embeddings(s))
+      Ann.cosineNearDupLsh(
+        t(dir, "embeddings").select($"vec_id", $"embedding")
+          .unionByName(fixture),
+        bits = 12, cosFloor = 0.9)
+    }),
+    "emb_ann_ivf_probe" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // ivfProbeStats' non-test consumer (recall-collapse telemetry): a
+      // PARTIAL-probe candidate scan (nprobe < nlist) over the staged
+      // fixture; candidates are staged so the DuckDB twin aggregates the
+      // same rows — validating the per-query count + zero-fill contract.
+      val fixture = stageAndRead(s, "emb_neardup_fixture",
+        graft.gen.EmbGen.embeddings(s))
+      val cands = Ann.ivfCandidates(fixture, nQueries = 8, nlist = 8,
+        nprobe = 2)
+      val staged = stageAndRead(s, "ivf_probe_cands",
+        cands.select($"query_id", $"vec_id"))
+      Ann.ivfProbeStats(staged,
+        fixture.orderBy($"vec_id").limit(8).select($"vec_id".as("query_id")))
     }),
 
     // ---------------- ER pipeline ops (north_rule) ------------------------
@@ -237,6 +262,20 @@ object SparkEntry {
         PageGen.labeledPairs(s, 400, seed = 7L)
           .select($"left_url", $"right_url", $"label"))
       ERPipeline.evaluate(clStaged, lpStaged)
+    }),
+    "eval_threshold_sweep" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // eval-log fixture: deterministic label-conditioned probabilities
+      // over the planted labeled pairs — positives land in [0.4, 1.0],
+      // negatives in [0, 0.6], so the overlapping band [0.4, 0.6] gives
+      // the sweep real FP/FN tradeoffs to trace (a separable fixture
+      // would make every mid-grid row identical).
+      val lp = PageGen.labeledPairs(s, 200, seed = 11L)
+      val log = lp.select($"label".cast(IntegerType).as("gold"),
+        round((when($"label" === 1, lit(400)).otherwise(lit(0)) +
+          pmod(abs(xxhash64($"left_url", $"right_url")), lit(601))) / 1000.0, 3)
+          .as("probability"))
+      val staged = stageAndRead(s, "eval_log", log)
+      graft.eval.Metrics.prAtThresholds(staged, sweepThresholds)
     }),
     "convert_ditto" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // Ditto COL/VAL lines synthesized from the page corpus → wide pairs.
@@ -377,6 +416,14 @@ object SparkEntry {
 
   private def stagePath(name: String): String =
     s"read_parquet('$stageRoot/$name/*.parquet')"
+
+  /** Threshold grid for eval_threshold_sweep — ONE definition feeding both
+    * engines: the oracle SQL embeds these exact Double values via
+    * toString (which round-trips bit-exactly), AS STRINGS cast to
+    * DOUBLE[] — DuckDB's string→double parse is correctly rounded, while
+    * a bare numeric list infers a DECIMAL element type whose
+    * decimal→double conversion is off by one ulp for 0.85/0.95. */
+  private val sweepThresholds: Seq[Double] = (1 to 19).map(_ * 0.05)
 
   /** DuckDB oracles — same table names, same column aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -620,6 +667,26 @@ object SparkEntry {
          |  CASE WHEN precision + recall = 0.0 THEN 0.0
          |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
          |FROM pr""".stripMargin,
+    "eval_threshold_sweep" ->
+      s"""WITH lp AS (SELECT * FROM ${stagePath("eval_log")}),
+         |t AS (SELECT unnest([${sweepThresholds.map("'" + _ + "'").mkString(", ")}]::DOUBLE[]) AS threshold),
+         |j AS (SELECT threshold, gold,
+         |  CASE WHEN probability >= threshold THEN 1 ELSE 0 END AS pred
+         |  FROM lp CROSS JOIN t),
+         |c AS (SELECT threshold,
+         |  CAST(sum(CASE WHEN gold=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) tp,
+         |  CAST(sum(CASE WHEN gold=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) fp,
+         |  CAST(sum(CASE WHEN gold=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) fn,
+         |  CAST(sum(CASE WHEN gold=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) tn
+         |  FROM j GROUP BY threshold),
+         |pr AS (SELECT threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall
+         |  FROM c)
+         |SELECT threshold, tp, fp, fn, tn, precision, recall,
+         |  CASE WHEN precision + recall = 0.0 THEN 0.0
+         |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+         |FROM pr""".stripMargin,
     "emb_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id query_id, v qv FROM e ORDER BY vec_id LIMIT 8),
@@ -639,12 +706,27 @@ object SparkEntry {
         |r AS (SELECT s.*, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin,
+    // exhaustive-cosine twin over BOTH inputs the Spark query unions: the
+    // per-sf table (true negatives) and the staged planted fixture
+    // (nonzero near-dup pairs). LSH candidate generation is pruning, not
+    // semantics — recall 1.0 on both populations verified before landing.
     "emb_neardup_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM ${stagePath("emb_neardup_fixture")})
         |SELECT a.vec_id l_id, b.vec_id r_id,
         |  round(list_cosine_similarity(a.v, b.v), 6) cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    "emb_ann_ivf_probe" ->
+      s"""WITH q AS (SELECT vec_id AS query_id
+        |  FROM ${stagePath("emb_neardup_fixture")} ORDER BY vec_id LIMIT 8),
+        |c AS (SELECT query_id, count(*) AS n
+        |  FROM ${stagePath("ivf_probe_cands")} GROUP BY query_id)
+        |SELECT q.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_candidates
+        |FROM q LEFT JOIN c USING (query_id)""".stripMargin,
     "er_similarity" ->
       """WITH p AS (SELECT p_partkey, p_name,
         |  list_distinct(list_filter(regexp_split_to_array(
