@@ -43,6 +43,31 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall (${found.size}/${truth.size})")
   }
 
+  test("EmbGen fixture: LSH at driver-query parameters = exact truth, nonzero") {
+    // the emb_neardup_lsh oracle depends on this exhaustively: at
+    // (bits=12, floor=0.9, multi-probe hamming-1) LSH candidate pruning
+    // must lose NOTHING on the planted fixture — pairs == brute force
+    val emb = graft.gen.EmbGen.embeddings(spark)
+    val l = emb.select($"vec_id".as("l_id"), $"embedding".as("l_emb"))
+    val r = emb.select($"vec_id".as("r_id"), $"embedding".as("r_emb"))
+    val truth = l.join(r, $"l_id" < $"r_id")
+      .withColumn("cos", Ann.cosine($"l_emb", $"r_emb"))
+      .where($"cos" >= 0.9)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // every planted near-dup (and nothing else) is above the floor:
+    // (base i = 1000000+i, near twin = 1100000+i)
+    assert(truth === (0 until 32).map(i =>
+      (1000000L + i, 1100000L + i)).toSet)
+    val found = Ann.cosineNearDupLsh(emb, bits = 12, cosFloor = 0.9)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(found === truth)
+    // far-perturbed rows sit well below the floor — sub-floor reject path
+    val farMax = l.join(r, $"l_id" + 200000L === $"r_id")
+      .withColumn("cos", Ann.cosine($"l_emb", $"r_emb"))
+      .agg(max($"cos")).head().getDouble(0)
+    assert(farMax < 0.8, s"epsFar population too similar: $farMax")
+  }
+
   test("IVF top-k: high recall vs brute force; full-probe equals exact") {
     val emb = fixture(40, 32)
     val truth = Ann.bruteForceTopK(emb, nQueries = 6, k = 3)
