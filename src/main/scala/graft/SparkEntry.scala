@@ -176,10 +176,14 @@ object SparkEntry {
     }),
     "doc_winnow_containment" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // winnowing postings-list containment join (the pair-level consumer
-      // of winnowFingerprints); cap 64 suits the synthetic low-entropy
-      // corpus — at web scale the cap is a corpus-DF-derived stoplist
+      // of winnowFingerprints); the boilerplate cap is corpus-DF-derived —
+      // floor(0.128 × corpus) — so the stoplist scales with the corpus
+      // instead of an absolute row count (the oracle derives the same cap
+      // from count(*); 0.128 reproduces the round-3 operating point of 64
+      // postings at the 500-doc correctness corpus)
       TextAnalysis.winnowContainmentPairs(t(dir, "documents"),
-        $"doc_id", $"text", k = 5, w = 4, floor = 0.4, maxPostings = 64L)
+        $"doc_id", $"text", k = 5, w = 4, floor = 0.4,
+        maxPostingsFrac = 0.128)
     }),
     "emb_ann_topk" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Ann.bruteForceTopK(t(dir, "embeddings"), nQueries = 8, k = 5)
@@ -345,11 +349,16 @@ object SparkEntry {
       // (no cross-engine twin; DuckDB's variant differs) is verified by
       // the Winkler-golden unit suite; this query carries the SQL-
       // expressible measures for the DuckDB oracle.
+      // The residue trick still grows pairs as ~n²/97 with sf, so both
+      // sides are absolute-bounded at the sf0.1 key range: a no-op at
+      // every sf the driver runs (max p_partkey = 19999 at sf0.1) that
+      // pins the pair count sf-independently at any larger corpus.
+      val bounded = t(dir, "part").where($"p_partkey" < 20000)
       val toks = (c: Column) => array_distinct(GraftFunctions.tokens(c))
-      val p = t(dir, "part").select($"p_partkey", $"p_name",
+      val p = bounded.select($"p_partkey", $"p_name",
         toks($"p_name").as("p_toks"),
         pmod($"p_partkey", lit(97)).as("res"))
-      val q = t(dir, "part").select($"p_partkey".as("q_partkey"),
+      val q = bounded.select($"p_partkey".as("q_partkey"),
         $"p_name".as("q_name"), toks($"p_name").as("q_toks"),
         pmod(lit(97) - pmod($"p_partkey", lit(97)), lit(97)).as("res"))
       val inter = size(array_intersect($"p_toks", $"q_toks")).cast(DoubleType)
@@ -577,9 +586,14 @@ object SparkEntry {
         |  FROM g
         |), p AS (
         |  SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f
+        |), cap AS (
+        |  -- corpus-DF-derived boilerplate cap: max(2, floor(0.128 * n)) —
+        |  -- same single-multiply double derivation as the Scala side
+        |  SELECT greatest(2, CAST(floor(0.128 * count(*)) AS BIGINT)) AS c
+        |  FROM documents
         |), keep AS (
         |  SELECT fp FROM p GROUP BY fp
-        |  HAVING count(*) <= 64 AND count(*) >= 2
+        |  HAVING count(*) <= (SELECT c FROM cap) AND count(*) >= 2
         |), post AS (
         |  SELECT p.fp, p.doc_id, p.n_fp FROM p JOIN keep USING (fp)
         |), pair AS (
@@ -732,7 +746,7 @@ object SparkEntry {
         |  list_distinct(list_filter(regexp_split_to_array(
         |    regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g'), ' '),
         |    x -> x <> '')) toks
-        |  FROM part)
+        |  FROM part WHERE p_partkey < 20000)
         |SELECT a.p_partkey AS p_partkey, b.p_partkey AS q_partkey,
         |  levenshtein(a.p_name, b.p_name) AS lev,
         |  round(CASE WHEN greatest(length(a.p_name), length(b.p_name)) = 0

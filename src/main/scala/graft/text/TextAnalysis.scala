@@ -164,29 +164,42 @@ object TextAnalysis {
     *
     * Scale shape: postings are SLIM (fp, doc_id, n_fp) rows; the self-join
     * shuffles on the 64-bit fingerprint, never on text. Boilerplate
-    * fingerprints shared by more than `maxPostings` documents are dropped
-    * from candidate generation (stoplist semantics — the quadratic blowup
-    * of a mega-posting is the same failure mode as a mega-LSH-block);
+    * fingerprints shared by more than a CORPUS-DERIVED fraction of
+    * documents are dropped from candidate generation (stoplist semantics —
+    * the quadratic blowup of a mega-posting is the same failure mode as a
+    * mega-LSH-block, and the same fix as ERPipeline's fractional
+    * maxTokenDf: an absolute row cap is meaningless across corpus sizes);
     * pairs that share ONLY boilerplate are intentionally not candidates.
-    * The drop is observable: filtered fingerprints lower n_shared, never
-    * silently cap rows. */
-  def winnowContainmentPairs(docs: DataFrame, idCol: Column, textCol: Column,
-      k: Int = 5, w: Int = 4, floor: Double = 0.5,
-      maxPostings: Long = 1000L): DataFrame = {
+    * The drop is doubly observable: filtered fingerprints lower n_shared
+    * (never silently cap pair rows), and the dropped postings surface in
+    * the stats table (fp, df) — one row per stoplisted fingerprint.
+    *
+    * @param maxPostingsFrac fingerprints appearing in more than
+    *   floor(maxPostingsFrac × corpus size) documents are boilerplate;
+    *   the cap never goes below 2 (df = 2 is the smallest useful posting).
+    * @param nDocs corpus size if the caller already knows it (skips one
+    *   count job — same contract as ERPipeline.block). */
+  def winnowContainmentPairsWithStats(docs: DataFrame, idCol: Column,
+      textCol: Column, k: Int = 5, w: Int = 4, floor: Double = 0.5,
+      maxPostingsFrac: Double = 0.01, nDocs: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
+    val n = nDocs.getOrElse(docs.count())
+    val maxPostings = math.max(2L, math.floor(n * maxPostingsFrac).toLong)
     val fps = docs.select(idCol.as("doc_id"),
       winnowFingerprints(textCol, k, w).as("fps"))
       .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
         explode(col("fps")).as("fp"))
     // document-frequency trim of boilerplate postings (two scale-free
     // aggregates: fp-df groupBy + semi-join back)
-    val keepFp = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
+    val dfs = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val keepFp = dfs
       .where(col("df") <= maxPostings && col("df") >= 2)
       .select(col("fp"))
+    val dropped = dfs.where(col("df") > maxPostings)
     val post = fps.join(keepFp, Seq("fp"))
     val l = post.select(col("fp"), col("doc_id").as("l_id"), col("n_fp").as("l_n"))
     val r = post.select(col("fp"), col("doc_id").as("r_id"), col("n_fp").as("r_n"))
-    l.join(r, Seq("fp")).where(col("l_id") < col("r_id"))
+    val pairs = l.join(r, Seq("fp")).where(col("l_id") < col("r_id"))
       // fps are deduped per document, so one posting per (doc, fp):
       // count(*) per pair IS the shared-fingerprint count
       .groupBy(col("l_id"), col("r_id"), col("l_n"), col("r_n"))
@@ -195,5 +208,14 @@ object TextAnalysis {
         least(col("l_n"), col("r_n")).cast(DoubleType), 6))
       .where(col("containment") >= floor)
       .select(col("l_id"), col("r_id"), col("n_shared"), col("containment"))
+    (pairs, dropped)
   }
+
+  /** Pairs-only convenience wrapper over
+    * [[winnowContainmentPairsWithStats]]. */
+  def winnowContainmentPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, w: Int = 4, floor: Double = 0.5,
+      maxPostingsFrac: Double = 0.01, nDocs: Option[Long] = None): DataFrame =
+    winnowContainmentPairsWithStats(docs, idCol, textCol, k, w, floor,
+      maxPostingsFrac, nDocs)._1
 }
