@@ -32,9 +32,18 @@ object DittoConverter {
   /** @param ordCol when the caller already carries an explicit input-order
     *   column (e.g. staged fixtures), ids are assigned in ITS order via a
     *   range-repartitioned rank; otherwise input (byte) order via
-    *   `monotonically_increasing_id`. Either way: no global window. */
+    *   `monotonically_increasing_id`. Either way: no global window.
+    * @param persist materializer for the parsed frame that feeds the two
+    *   downstream jobs (field-union collect + final projection). Default
+    *   `localCheckpoint()` pins the parsed corpus into executor storage —
+    *   right at fixture/benchmark scale, an OOM/eviction hazard on a
+    *   TB-scale Ditto file (localCheckpoint blocks are non-replayable).
+    *   Production runs over large inputs should pass a reliable
+    *   materializer, e.g. `df => Snapshots.commit(spark, df, root, "parsed")`
+    *   or `_.checkpoint()` — same contract as ERPipeline.run(persist). */
   def convertLines(spark: SparkSession, lines: DataFrame, cfg: Config,
-      ordCol: Option[String] = None): DataFrame = {
+      ordCol: Option[String] = None,
+      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     import spark.implicits._
     val parseUdf =
       if (cfg.robust) GraftFunctions.parseColValRobust
@@ -44,20 +53,20 @@ object DittoConverter {
     val src =
       if (ordCol.isDefined) lines
       else lines.withColumn("_ord", monotonically_increasing_id())
-    val split0 = src
+    val split0 = persist(src
       .withColumn("line", GraftFunctions.pyTrim($"value"))
       .where(length($"line") > 0)
       .withColumn("parts",
         if (cfg.robust) split($"line", "\t+") else split($"line", "\t", -1))
       .where(size($"parts") === 3)
       .withColumn("left_map", parseUdf(element_at($"parts", 1)))
-      .withColumn("right_map", parseUdf(element_at($"parts", 2)))
-      // materialize the parsed frame once for the two downstream jobs
-      // (field-union collect + final projection); localCheckpoint instead
-      // of cache() so the storage blocks are ContextCleaner-released when
-      // the result is dropped — no CacheManager entry leaks across the
-      // repeated convert runs of a long-lived session
-      .localCheckpoint()
+      .withColumn("right_map", parseUdf(element_at($"parts", 2))))
+      // materialized once for the two downstream jobs (field-union collect
+      // + final projection); the default localCheckpoint (vs cache()) lets
+      // ContextCleaner release the storage blocks when the result is
+      // dropped — no CacheManager entry leaks across the repeated convert
+      // runs of a long-lived session. See the persist param for why large
+      // production inputs should use reliable storage instead.
 
     // C1/A1: two-pass schema inference — union of keys from both sides.
     // Computed BEFORE the label filter: the reference's first pass unions
