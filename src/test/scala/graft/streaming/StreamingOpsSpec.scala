@@ -84,6 +84,81 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ER ingest: file source + checkpoint restart, no re-emission") {
+    // the streaming twin of PipelineAppSpec's resume test: drive
+    // streamingMatches from a real file-source directory with a durable
+    // checkpoint + file sink, stop the query between batches, restart it
+    // with the same checkpoint, and assert the restarted query (a) does
+    // not re-emit batch-1 matches and (b) still processes new files.
+    import graft.pipeline.ERPipeline
+    import graft.gen.PageGen
+    import org.apache.spark.sql.types._
+    val cfg = ERPipeline.Config()
+    val truth = PageGen.pagesWithTruth(spark, 40, seed = 31L)
+      .select("url", "entity_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = PageGen.pages(spark, 40, seed = 31L)
+    val cex = ERPipeline.extract(corpus).localCheckpoint()
+    val stop = ERPipeline.tokenStoplist(cex, cfg, Some(cex.count()))
+    val cblocked = ERPipeline.block(cex, cfg, Some(cex.count())).localCheckpoint()
+    val idToUrl = cex.select("id", "url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val root = java.nio.file.Files.createTempDirectory("er-stream-files")
+    val srcDir = s"$root/in"; val sinkDir = s"$root/out"
+    val ckptDir = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val newRows = corpus.select("url", "text").collect().take(12)
+      .map(r => (ts("2026-01-01 10:00:00"), r.getString(0), r.getString(1)))
+    def writeBatch(name: String, rows: Seq[(java.sql.Timestamp, String, String)]) =
+      rows.toDF("ts", "url", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("url", StringType), StructField("text", StringType)))
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/*")
+      Streaming.streamingMatches(stream, cex, cblocked,
+          stopTokens = stop, cfg = cfg)
+        .writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+    }
+
+    writeBatch("b1", newRows.take(6).toIndexedSeq)
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val afterB1 = spark.read.parquet(sinkDir)
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    assert(afterB1.nonEmpty)
+
+    // stop happened between micro-batches; new data arrives while down
+    writeBatch("b2", newRows.drop(6).toIndexedSeq)
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val out = spark.read.parquet(sinkDir)
+      .select("l_url", "l_id", "r_id").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    // exactly-once across the restart: batch-1 pairs appear exactly once
+    val pairCounts = out.map(_._2).groupBy(identity).map(_._2.length)
+    assert(pairCounts.forall(_ == 1), "restart re-emitted matches")
+    assert(afterB1.toSet.subsetOf(out.map(_._2).toSet))
+    // the restarted query made progress on the new file
+    val matchedL = out.map(_._1).toSet
+    newRows.map(_._2).foreach { url =>
+      val siblings = truth.count { case (u, e) => e == truth(url) && u != url }
+      if (siblings > 0)
+        assert(matchedL.contains(url), s"streamed page $url found no sibling")
+    }
+    // precision across both batches: no cross-entity match
+    out.foreach { case (lUrl, (_, rId)) =>
+      assert(truth(lUrl) === truth(idToUrl(rId)), s"cross-entity $lUrl")
+    }
+  }
+
   test("entity profile state is evicted after the event-time ttl") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Streaming.PageEvent]
