@@ -324,22 +324,33 @@ object SparkEntry {
     }),
     "multimodal_features" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // binary media plumbing end-to-end: staged BLOB parquet → typed
-      // Dataset → partition-batched feature extraction (stub decode) →
-      // oracle-checkable metadata projection. The mapPartitions stage runs
-      // for real (it is opaque to pruning); the histogram features are
-      // asserted in MultimodalSpec, the byte metadata here.
+      // Dataset → partition-batched feature extraction → oracle-checkable
+      // metadata projection. TWO payload populations so BOTH decode paths
+      // run under the oracle: page html bytes (stub path) and synthetic
+      // lossless PNGs (real imageio pixel decode). The oracle re-derives
+      // the decoder routing from the payload magic bytes; the pixel
+      // features themselves are asserted in MultimodalSpec.
+      val pngUdf = udf((id: Long) =>
+        graft.multimodal.Multimodal.syntheticPng(id))
       val media = stageAndRead(s, "mm_media",
         PageGen.pages(s, 200, seed = 9L)
-          .select(xxhash64($"url").as("media_id"), $"html".as("payload")))
+          .select(xxhash64($"url").as("media_id"), $"html".as("payload"))
+          .unionByName(s.range(40)
+            .select(($"id" + 5000000L).as("media_id"),
+              pngUdf($"id").as("payload"))))
       val rows = media
         .withColumn("meta", struct(
           lit("image").as("kind"), lit(640).as("width"), lit(480).as("height"),
           lit(0).as("sampleRateHz"), lit(0L).as("durationMs")))
         .as[graft.multimodal.Multimodal.MediaRow]
       val feats = graft.multimodal.Multimodal.extractFeatures(rows, dim = 64)
-      feats.join(media.select($"media_id", md5($"payload").as("payload_md5")),
+      // checksum the HEX encoding, not the raw bytes: this DuckDB build
+      // hashes VARCHAR only, and decode(payload) would reject non-UTF-8
+      // PNG bytes — hex() is uppercase in both engines
+      feats.join(
+          media.select($"media_id", md5(hex($"payload")).as("payload_md5")),
           Seq("media_id"))
-        .select($"media_id", $"kind", $"n_bytes", $"payload_md5")
+        .select($"media_id", $"kind", $"n_bytes", $"decoder", $"payload_md5")
     }),
     "er_similarity" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // similarity measures over part names. The pair predicate
@@ -654,10 +665,15 @@ object SparkEntry {
     "er_clusters" ->
       s"""SELECT url, min(id) OVER (PARTITION BY entity_id) AS component
          |FROM ${stagePath("er_truth")}""".stripMargin,
+    // decoder routing re-derived from payload magic bytes: lossless PNG →
+    // real imageio decode, everything else → deterministic stub
+    // (Multimodal.isLosslessImage; GIF/BMP don't occur in this fixture)
     "multimodal_features" ->
       s"""SELECT media_id, 'image' AS kind,
          |  octet_length(payload) AS n_bytes,
-         |  md5(decode(payload)) AS payload_md5
+         |  CASE WHEN left(hex(payload), 8) = '89504E47'
+         |       THEN 'imageio' ELSE 'stub' END AS decoder,
+         |  md5(hex(payload)) AS payload_md5
          |FROM ${stagePath("mm_media")}""".stripMargin,
     "er_f1" ->
       s"""WITH cl AS (SELECT * FROM ${stagePath("er_f1_clusters")}),

@@ -133,6 +133,30 @@ object Multimodal {
     }
   }
 
+  /** Deterministic small PNG: pixels are a pure hash of (id, x, y), so
+    * content is reproducible at any parallelism; PNG is lossless, so the
+    * imageio decode path recovers exactly these pixels. Fixture
+    * generator for exercising the REAL decode path in driver queries and
+    * specs (the page-corpus html payloads only ever hit the stub). */
+  def syntheticPng(id: Long, w: Int = 24, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var m = id * 1000003L + y * 131L + x + 0x9E3779B97F4A7C15L
+        m = (m ^ (m >>> 30)) * 0xBF58476D1CE4E5B9L
+        img.setRGB(x, y, (m ^ (m >>> 27)).toInt & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Frame/window sampling plan for time-media: deterministic sample
     * offsets as a column expression (no decode needed for planning). */
   def sampleOffsets(durationMs: org.apache.spark.sql.Column, everyMs: Long)
