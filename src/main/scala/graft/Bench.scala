@@ -123,34 +123,59 @@ object ScaleBench {
     spark
   }
 
-  /** One full measured execution; returns (pairs, clusters, tScore, tCluster).
-    * Uses the AT-SCALE config: payload broadcast disabled (a 10^12-doc
-    * corpus never broadcasts; the shuffle-join path is both the honest
-    * target topology and the parallel one — broadcast builds serialize on
-    * the driver and cap scaling per Amdahl). */
-  private def runOnce(spark: SparkSession, nEntities: Long)
-      : (Long, Long, Double, Double) = {
+  /** Per-run telemetry listener: total task wall time and in-task JVM GC
+    * time over the measured window. Lets a scaling reading attribute its
+    * efficiency loss — utilization drop (task_sec / (wall × cores) falls
+    * at the wide level → driver/scheduler serial fraction), task-time
+    * inflation (task_sec itself grows with cores on fixed work → shared
+    * memory-bandwidth ceiling), or GC share (allocation pressure). */
+  private final class TaskTally extends org.apache.spark.scheduler.SparkListener {
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      if (e.taskInfo != null) taskMs.addAndGet(e.taskInfo.duration)
+      if (e.taskMetrics != null) gcMs.addAndGet(e.taskMetrics.jvmGCTime)
+    }
+  }
+
+  private final case class RunStats(pairs: Long, clusters: Long,
+      tScore: Double, tCluster: Double, taskSec: Double, taskGcSec: Double) {
+    def total: Double = tScore + tCluster
+  }
+
+  /** One full measured execution. Uses the AT-SCALE config: payload
+    * broadcast disabled (a 10^12-doc corpus never broadcasts; the
+    * shuffle-join path is both the honest target topology and the
+    * parallel one — broadcast builds serialize on the driver and cap
+    * scaling per Amdahl). */
+  private def runOnce(spark: SparkSession, nEntities: Long): RunStats = {
     val cfg = graft.pipeline.ERPipeline.Config(payloadBroadcastMaxRows = 0L)
     val pages = graft.gen.PageGen.pages(spark, nEntities, seed = 42L)
       .localCheckpoint()
     pages.count()
-    val t0 = System.nanoTime()
-    val ex = graft.pipeline.ERPipeline.extract(pages).localCheckpoint()
-    val n = Some(ex.count())
-    val blocked = graft.pipeline.ERPipeline.block(ex, cfg, n)
-    val (scoredPlan, _) = graft.pipeline.ERPipeline.scorePairs(ex, blocked, cfg, n)
-    val scored = scoredPlan
-      .select(org.apache.spark.sql.functions.col("l_id"),
-        org.apache.spark.sql.functions.col("r_id"),
-        org.apache.spark.sql.functions.col("score"))
-      .localCheckpoint()
-    val nPairs = scored.count()
-    val tScore = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val comps = graft.pipeline.ERPipeline.cluster(spark, scored, cfg)
-    val nClusters = comps.select("component").distinct().count()
-    val tCluster = (System.nanoTime() - t1) / 1e9
-    (nPairs, nClusters, tScore, tCluster)
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val t0 = System.nanoTime()
+      val ex = graft.pipeline.ERPipeline.extract(pages).localCheckpoint()
+      val n = Some(ex.count())
+      val blocked = graft.pipeline.ERPipeline.block(ex, cfg, n)
+      val (scoredPlan, _) = graft.pipeline.ERPipeline.scorePairs(ex, blocked, cfg, n)
+      val scored = scoredPlan
+        .select(org.apache.spark.sql.functions.col("l_id"),
+          org.apache.spark.sql.functions.col("r_id"),
+          org.apache.spark.sql.functions.col("score"))
+        .localCheckpoint()
+      val nPairs = scored.count()
+      val tScore = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val comps = graft.pipeline.ERPipeline.cluster(spark, scored, cfg)
+      val nClusters = comps.select("component").distinct().count()
+      val tCluster = (System.nanoTime() - t1) / 1e9
+      RunStats(nPairs, nClusters, tScore, tCluster,
+        tally.taskMs.get / 1e3, tally.gcMs.get / 1e3)
+    } finally spark.sparkContext.removeSparkListener(tally)
   }
 
   def main(args: Array[String]): Unit = {
@@ -161,29 +186,30 @@ object ScaleBench {
     // JIT/codegen warmup at the first level (classes shared JVM-wide)
     { val sp = session(levels.head); runOnce(sp, nEntities); sp.stop() }
 
-    val best = scala.collection.mutable.Map.empty[Int, (Long, Long, Double, Double)]
+    val best = scala.collection.mutable.Map.empty[Int, RunStats]
     (1 to reps).foreach { _ =>
       levels.foreach { cpus =>
         val sp = session(cpus)
         val r = runOnce(sp, nEntities)
         sp.stop()
         val cur = best.get(cpus)
-        if (cur.isEmpty || r._3 + r._4 < cur.get._3 + cur.get._4) best(cpus) = r
+        if (cur.isEmpty || r.total < cur.get.total) best(cpus) = r
       }
     }
     levels.foreach { cpus =>
-      val (p, c, ts, tc) = best(cpus)
-      println(f"""{"cpus":$cpus,"entities":$nEntities,"candidate_pairs":$p,"clusters":$c,"score_sec":$ts%.2f,"cluster_sec":$tc%.2f,"total_sec":${ts + tc}%.2f,"pairs_per_sec":${p / ts}%.0f}""")
+      val r = best(cpus)
+      val util = r.taskSec / (r.total * cpus)
+      println(f"""{"cpus":$cpus,"entities":$nEntities,"candidate_pairs":${r.pairs},"clusters":${r.clusters},"score_sec":${r.tScore}%.2f,"cluster_sec":${r.tCluster}%.2f,"total_sec":${r.total}%.2f,"pairs_per_sec":${r.pairs / r.tScore}%.0f,"task_sec":${r.taskSec}%.2f,"task_gc_sec":${r.taskGcSec}%.2f,"cpu_util":$util%.3f}""")
     }
     if (levels.length == 2) {
       val (lo, hi) = (levels.min, levels.max)
-      val sLo = best(lo)._3 + best(lo)._4
-      val sHi = best(hi)._3 + best(hi)._4
+      val sLo = best(lo).total
+      val sHi = best(hi).total
       val eff = (sLo / sHi) / (hi.toDouble / lo)
       // candidate-pairs/sec efficiency on the scoring stage (the metric
       // BASELINE.json names) alongside end-to-end efficiency
-      val thrLo = best(lo)._1 / best(lo)._3
-      val thrHi = best(hi)._1 / best(hi)._3
+      val thrLo = best(lo).pairs / best(lo).tScore
+      val thrHi = best(hi).pairs / best(hi).tScore
       val effScore = (thrHi / thrLo) / (hi.toDouble / lo)
       println(f"""{"scaling":{"n_cpus":$lo,"xn_cpus":$hi,"total_sec_n":$sLo%.2f,"total_sec_xn":$sHi%.2f,"speedup":${sLo / sHi}%.2f,"efficiency":$eff%.2f,"pairs_per_sec_n":$thrLo%.0f,"pairs_per_sec_xn":$thrHi%.0f,"score_efficiency":$effScore%.2f}}""")
     }
