@@ -263,6 +263,35 @@ object ERPipeline {
     (assign, drops)
   }
 
+  /** Data-driven threshold selection: P/R/F1 of "match iff score >= t" at
+    * each t in `thresholds`, over labeled url pairs — evaluates the raw
+    * pair SCORE as a classifier (pre-clustering), i.e. the operator that
+    * justifies (or re-tunes) Config.scoreThreshold from labeled data
+    * instead of folklore. A labeled pair that never became a candidate
+    * scores 0.0 (blocked-out pairs are non-matches at every threshold —
+    * the same semantics the clustering applies).
+    *
+    * Scale shape: two id-joins on the labeled pairs (a labels table is
+    * tiny next to the corpus), one left join against scored candidates on
+    * the 128-bit pair key, then Metrics.prAtThresholds' partial-aggregable
+    * sweep — nothing here touches payloads. */
+  def sweepScores(extracted: DataFrame, scored: DataFrame,
+      labeledPairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val ids = extracted.select(col("url"), col("id"))
+    val lp = labeledPairs
+      .join(ids.toDF("left_url", "l_id0"), Seq("left_url"))
+      .join(ids.toDF("right_url", "r_id0"), Seq("right_url"))
+      .select(col("label"),
+        least(col("l_id0"), col("r_id0")).as("l_id"),
+        greatest(col("l_id0"), col("r_id0")).as("r_id"))
+    val log = lp
+      .join(scored.select(col("l_id"), col("r_id"), col("score")),
+        Seq("l_id", "r_id"), "left")
+      .select(col("label").as("gold"),
+        coalesce(col("score"), lit(0.0)).as("probability"))
+    Metrics.prAtThresholds(log, thresholds)
+  }
+
   /** Evaluate a clustering against labeled url pairs → 1-row P/R/F1. */
   def evaluate(clusters: DataFrame, labeledPairs: DataFrame): DataFrame = {
     val cl = clusters.select(col("url"), col("component"))

@@ -24,6 +24,33 @@ class ERPipelineSpec extends SparkSuite {
     assert(drops.count() === 0, "no block should overflow the pair cap at this scale")
   }
 
+  test("score sweep justifies the configured clustering threshold from data") {
+    val cfg = ERPipeline.Config()
+    val pages = PageGen.pages(spark, 150, seed = 42L)
+    val ex = ERPipeline.extract(pages).localCheckpoint()
+    val n = Some(ex.count())
+    val blocked = ERPipeline.block(ex, cfg, n)
+    val (scored, _) = ERPipeline.scorePairs(ex, blocked, cfg, n)
+    val labels = PageGen.labeledPairs(spark, 150, seed = 42L)
+    val grid = Seq(0.05, 0.5, 0.7, 0.9, 0.99)
+    val sweep = ERPipeline.sweepScores(ex, scored, labels, grid)
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    assert(sweep.size === grid.size)
+    // positives are threshold-invariant
+    val positives = labels.where(col("label") === 1).count()
+    sweep.values.foreach(r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") === positives))
+    // at the CONFIGURED threshold the score separates planted entities
+    // perfectly (consistent with the pipeline's F1 = 1.0 acceptance)
+    assert(sweep(cfg.scoreThreshold).getAs[Double]("f1") === 1.0)
+    // at a permissive threshold every blocked candidate pair reads as a
+    // match — labeled negatives that share a block become FPs, so the
+    // sweep actually discriminates (guards against a degenerate fixture
+    // where no negative is ever a candidate and every row looks perfect)
+    assert(sweep(0.05).getAs[Long]("fp") > 0L)
+    assert(sweep(0.05).getAs[Double]("f1") < 1.0)
+  }
+
   test("clusters are deterministic across input partitioning") {
     val pages = PageGen.pages(spark, 120, seed = 11L)
     val (c1, _) = ERPipeline.run(spark, pages.repartition(3))

@@ -48,6 +48,33 @@ class PlanSpec extends SparkSuite {
     assert(finalPlan.contains("*("), finalPlan)
   }
 
+  test("threshold sweep aggregates partially and shuffles only counts") {
+    import spark.implicits._
+    // AQE off so the compiled plan's exchanges are directly inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val log = Seq((1, 0.9, "payload left"), (0, 0.4, "payload right"),
+        (1, 0.6, "x")).toDF("gold", "probability", "text_left")
+      val df = graft.eval.Metrics.prAtThresholds(log, Seq(0.3, 0.5, 0.7))
+      val plan = planString(df)
+      // map-side combine: confusion counts partial-aggregate before the
+      // 4-longs-per-threshold exchange — the property that keeps the
+      // sweep log-size-independent on the shuffle
+      assert(plan.contains("partial_sum"), plan)
+      // the exploded rows carry (gold, prob, threshold) only — the log's
+      // payload columns are pruned before the fan-out and nothing
+      // string-typed crosses an exchange
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(!e.child.schema.fields.exists(_.dataType.typeName == "string"),
+          s"payload crossed the sweep exchange: ${e.child.schema}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("extraction + blocking stage is shuffle-free (narrow maps only)") {
     val ex = graft.pipeline.ERPipeline.extract(
       graft.gen.PageGen.pages(spark, 50, seed = 1L))
