@@ -53,6 +53,18 @@ object SparkEntry {
   private val stagedThisJvm =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** stageAndRead with same-JVM reuse, for fixtures staged by more than
+    * one query (content is seed-deterministic, so whichever query runs
+    * first writes the identical bytes the others read). */
+  private def stageOnce(spark: SparkSession, name: String, df: => DataFrame)
+      : DataFrame = {
+    val path = s"$stageRoot/$name"
+    if (stagedThisJvm.contains(name) &&
+        new java.io.File(s"$path/_SUCCESS").exists())
+      spark.read.parquet(path)
+    else stageAndRead(spark, name, df)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full ER pipeline over a generated 300-entity page corpus: extract →
     * block(LSH) → score → cluster, returning url→component assignments. */
@@ -203,7 +215,7 @@ object SparkEntry {
       // bucket join + multi-probe + verify chain is oracle-validated on
       // NONZERO pairs, not only on the empty set. Fixture ids are
       // 1e6-offset — disjoint from testdata vec_ids by construction.
-      val fixture = stageAndRead(s, "emb_neardup_fixture",
+      val fixture = stageOnce(s, "emb_neardup_fixture",
         graft.gen.EmbGen.embeddings(s))
       Ann.cosineNearDupLsh(
         t(dir, "embeddings").select($"vec_id", $"embedding")
@@ -215,7 +227,7 @@ object SparkEntry {
       // PARTIAL-probe candidate scan (nprobe < nlist) over the staged
       // fixture; candidates are staged so the DuckDB twin aggregates the
       // same rows — validating the per-query count + zero-fill contract.
-      val fixture = stageAndRead(s, "emb_neardup_fixture",
+      val fixture = stageOnce(s, "emb_neardup_fixture",
         graft.gen.EmbGen.embeddings(s))
       val cands = Ann.ivfCandidates(fixture, nQueries = 8, nlist = 8,
         nprobe = 2)

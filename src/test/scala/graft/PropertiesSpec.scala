@@ -102,4 +102,36 @@ class PropertiesSpec extends SparkSuite {
       assert(v >= 0.0 && v <= 1.0, s"$c=$v")
     }
   }
+
+  test("P: one-pass threshold sweep == per-threshold prf1 on random logs") {
+    // the sweep's explode+groupBy must be a pure refactoring of running
+    // prf1 once per threshold with pred := prob >= t — exact equality of
+    // every count and derived metric, including degenerate logs (all one
+    // class, probs exactly on grid points)
+    val probs = Gen.oneOf(Gen.chooseNum(0.0, 1.0),
+      Gen.oneOf(0.0, 0.25, 0.5, 0.75, 1.0)) // mass exactly ON thresholds
+    val rows = sample(Gen.zip(Gen.oneOf(0, 1), probs), 300, seed = 6L)
+    val grid = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val log = rows.toDF("gold", "probability")
+    val sweep = graft.eval.Metrics.prAtThresholds(log, grid)
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    grid.foreach { th =>
+      val direct = graft.eval.Metrics.prf1(
+        log.withColumn("pred", ($"probability" >= th).cast("int"))).collect()(0)
+      val got = sweep(th)
+      for (c <- Seq("tp", "fp", "fn", "tn"))
+        assert(got.getAs[Long](c) === direct.getAs[Long](c), s"$c at $th")
+      for (c <- Seq("precision", "recall", "f1"))
+        assert(got.getAs[Double](c) === direct.getAs[Double](c), s"$c at $th")
+    }
+  }
+
+  test("P: EmbGen fixture is deterministic at any parallelism") {
+    val a = graft.gen.EmbGen.embeddings(spark)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = graft.gen.EmbGen.embeddings(spark).repartition(13)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a === b)
+    assert(a.size === 192 + 32 + 16)
+  }
 }

@@ -84,6 +84,19 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("capCorpusBlocks bounds hot static blocks deterministically, drops surfaced") {
+    val corpus = Seq((10L, 7L), (11L, 7L), (12L, 7L), (13L, 8L))
+      .toDF("id", "block_key")
+    val (capped, drops) = Streaming.capCorpusBlocks(corpus, cap = 2)
+    val kept = capped.select("block_key", "id").as[(Long, Long)]
+      .collect().toSet
+    // lowest ids win within the hot block; the cold block is untouched
+    assert(kept === Set((7L, 10L), (7L, 11L), (8L, 13L)))
+    val d = drops.collect().map(r => (r.getAs[Long]("block_key"),
+      r.getAs[Long]("n_total"), r.getAs[Long]("n_dropped")))
+    assert(d.toSeq === Seq((7L, 3L, 1L)))
+  }
+
   test("streaming ER ingest: file source + checkpoint restart, no re-emission") {
     // the streaming twin of PipelineAppSpec's resume test: drive
     // streamingMatches from a real file-source directory with a durable
