@@ -188,14 +188,15 @@ object SparkEntry {
     }),
     "doc_winnow_containment" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // winnowing postings-list containment join (the pair-level consumer
-      // of winnowFingerprints); the boilerplate cap is corpus-DF-derived —
-      // floor(0.128 × corpus) — so the stoplist scales with the corpus
-      // instead of an absolute row count (the oracle derives the same cap
-      // from count(*); 0.128 reproduces the round-3 operating point of 64
-      // postings at the 500-doc correctness corpus)
+      // of winnowFingerprints). Cap = min(floor(0.128 × corpus), 64):
+      // the FRACTION is the boilerplate stoplist (scales with corpus),
+      // the ABSOLUTE 64 bounds the df² pair cost per kept fingerprint —
+      // without it the same query cost 22 s at the 10× bench corpus.
+      // The oracle derives the identical cap from count(*); at the
+      // 500-doc correctness corpus both caps coincide at 64.
       TextAnalysis.winnowContainmentPairs(t(dir, "documents"),
         $"doc_id", $"text", k = 5, w = 4, floor = 0.4,
-        maxPostingsFrac = 0.128)
+        maxPostingsFrac = 0.128, maxPostingsAbs = 64L)
     }),
     "emb_ann_topk" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Ann.bruteForceTopK(t(dir, "embeddings"), nQueries = 8, k = 5)
@@ -610,9 +611,10 @@ object SparkEntry {
         |), p AS (
         |  SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f
         |), cap AS (
-        |  -- corpus-DF-derived boilerplate cap: max(2, floor(0.128 * n)) —
-        |  -- same single-multiply double derivation as the Scala side
-        |  SELECT greatest(2, CAST(floor(0.128 * count(*)) AS BIGINT)) AS c
+        |  -- min(boilerplate frac cap, absolute pair-cost cap 64) — same
+        |  -- single-multiply double derivation as the Scala side
+        |  SELECT least(greatest(2, CAST(floor(0.128 * count(*)) AS BIGINT)),
+        |               64) AS c
         |  FROM documents
         |), keep AS (
         |  SELECT fp FROM p GROUP BY fp

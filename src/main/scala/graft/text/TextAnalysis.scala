@@ -174,17 +174,27 @@ object TextAnalysis {
     * (never silently cap pair rows), and the dropped postings surface in
     * the stats table (fp, df) — one row per stoplisted fingerprint.
     *
-    * @param maxPostingsFrac fingerprints appearing in more than
-    *   floor(maxPostingsFrac × corpus size) documents are boilerplate;
-    *   the cap never goes below 2 (df = 2 is the smallest useful posting).
+    * Two caps with DIFFERENT jobs, mirroring ERPipeline's maxTokenDf +
+    * pairCapPerBlock split exactly:
+    * @param maxPostingsFrac BOILERPLATE semantics — fingerprints in more
+    *   than floor(frac × corpus) documents are template noise at any
+    *   corpus size, so the threshold must scale with the corpus; never
+    *   below 2 (df = 2 is the smallest useful posting).
+    * @param maxPostingsAbs QUADRATIC-COST guard — each kept fingerprint
+    *   contributes ~df²/2 join pairs, so compute per posting list is
+    *   bounded only by an ABSOLUTE df cap (a fractional one grows the
+    *   per-list cost as (frac×n)²: measured 1.3 s → 22 s on a 10×
+    *   corpus when the fraction alone governed). The effective cap is
+    *   min(frac-derived, abs); every trimmed fingerprint lands in stats.
     * @param nDocs corpus size if the caller already knows it (skips one
     *   count job — same contract as ERPipeline.block). */
   def winnowContainmentPairsWithStats(docs: DataFrame, idCol: Column,
       textCol: Column, k: Int = 5, w: Int = 4, floor: Double = 0.5,
-      maxPostingsFrac: Double = 0.01, nDocs: Option[Long] = None)
-      : (DataFrame, DataFrame) = {
+      maxPostingsFrac: Double = 0.01, maxPostingsAbs: Long = 256L,
+      nDocs: Option[Long] = None): (DataFrame, DataFrame) = {
     val n = nDocs.getOrElse(docs.count())
-    val maxPostings = math.max(2L, math.floor(n * maxPostingsFrac).toLong)
+    val maxPostings = math.min(maxPostingsAbs,
+      math.max(2L, math.floor(n * maxPostingsFrac).toLong))
     val fps = docs.select(idCol.as("doc_id"),
       winnowFingerprints(textCol, k, w).as("fps"))
       .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
@@ -215,7 +225,8 @@ object TextAnalysis {
     * [[winnowContainmentPairsWithStats]]. */
   def winnowContainmentPairs(docs: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, w: Int = 4, floor: Double = 0.5,
-      maxPostingsFrac: Double = 0.01, nDocs: Option[Long] = None): DataFrame =
+      maxPostingsFrac: Double = 0.01, maxPostingsAbs: Long = 256L,
+      nDocs: Option[Long] = None): DataFrame =
     winnowContainmentPairsWithStats(docs, idCol, textCol, k, w, floor,
-      maxPostingsFrac, nDocs)._1
+      maxPostingsFrac, maxPostingsAbs, nDocs)._1
 }
