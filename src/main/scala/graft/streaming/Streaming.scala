@@ -91,10 +91,14 @@ object Streaming {
       corpusBlocked.select(col("block_key"), col("id")),
       "block_key", "id", cap)
 
+  /** @param assumeCapped the caller already ran [[capCorpusBlocks]] (and
+    *   ideally persisted the result — StreamingIngestApp does): skip the
+    *   per-micro-batch re-cap, which is idempotent but re-runs the sizing
+    *   window on every batch. */
   def streamingMatches(newPages: DataFrame, corpusExtracted: DataFrame,
       corpusBlocked: DataFrame, stopTokens: Seq[String],
       cfg: graft.pipeline.ERPipeline.Config = graft.pipeline.ERPipeline.Config(),
-      lateness: String = "1 hour"): DataFrame = {
+      lateness: String = "1 hour", assumeCapped: Boolean = false): DataFrame = {
     import graft.block.Blocking
     import graft.pipeline.ERPipeline
 
@@ -120,7 +124,9 @@ object Streaming {
     // Static side joins slim AND block-capped (see capCorpusBlocks): a
     // degenerate hot block key must not fan every streamed page out to an
     // unbounded corpus slice at ingest latency.
-    val corpusSlim = capCorpusBlocks(corpusBlocked, cfg.pairCapPerBlock)._1
+    val corpusSlim = (
+      if (assumeCapped) corpusBlocked.select(col("block_key"), col("id"))
+      else capCorpusBlocks(corpusBlocked, cfg.pairCapPerBlock)._1)
       .withColumnRenamed("id", "r_id")
     val pairs = streamBlocked.join(corpusSlim, Seq("block_key"))
       .where(col("l_id") =!= col("r_id"))
