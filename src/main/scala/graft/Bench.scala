@@ -182,9 +182,15 @@ object ScaleBench {
     val nEntities = args.headOption.map(_.toLong).getOrElse(20000L)
     val levels = args.lift(1).getOrElse("8,32").split(",").map(_.trim.toInt)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // Warmup corpus size: JIT/codegen/classloading warm at ANY size, so
+    // an interleaved protocol (bench/scale_interleaved.sh — one short JVM
+    // per (level, rep) sample to keep host phases comparable across
+    // levels) passes a small count here instead of paying a full-size
+    // run per JVM.
+    val warmupEntities = args.lift(3).map(_.toLong).getOrElse(nEntities)
 
     // JIT/codegen warmup at the first level (classes shared JVM-wide)
-    { val sp = session(levels.head); runOnce(sp, nEntities); sp.stop() }
+    { val sp = session(levels.head); runOnce(sp, warmupEntities); sp.stop() }
 
     val best = scala.collection.mutable.Map.empty[Int, RunStats]
     (1 to reps).foreach { _ =>
