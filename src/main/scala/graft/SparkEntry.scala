@@ -182,6 +182,18 @@ object SparkEntry {
       Dedup.minhashPairs(t(dir, "documents"), $"doc_id", $"text",
         bands = 8, rowsPerBand = 4, jaccardFloor = 0.7)
     }),
+    "doc_neardup_keepers" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // near-dup CANONICALIZATION: minhash pairs → connected components →
+      // one keeper per cluster, every doc assigned. The oracle computes
+      // the transitive closure independently (recursive CTE over the
+      // exhaustive-Jaccard pair set), so CC is validated against a true
+      // second implementation on REAL similarity edges — not only against
+      // planted truth (er_clusters) or the driver-side union-find spec.
+      val docs = t(dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, $"doc_id", $"text",
+        bands = 8, rowsPerBand = 4, jaccardFloor = 0.7)
+      Dedup.nearDupKeepers(docs, $"doc_id", pairs)
+    }),
     "doc_simhash" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       t(dir, "documents").select($"doc_id",
         Dedup.simhash64($"text").as("simhash"))
@@ -647,6 +659,37 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) /
         |  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+    // Independent transitive-closure oracle for ConnectedComponents on
+    // REAL similarity edges: the exhaustive-Jaccard pair set (same
+    // derivation as doc_minhash_neardup — LSH recall 1.0 verified) closed
+    // by a recursive CTE, keeper = min reachable id, singletons keep
+    // themselves. Validates the large-star/small-star implementation
+    // against a genuinely different algorithm (BFS fixpoint), not only
+    // against planted truth (er_clusters) or spec-side union-find.
+    "doc_neardup_keepers" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in range(1, greatest(len(toks)-2, 0)+1)]) sh FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS l_id, b.doc_id AS r_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        |edges AS (SELECT l_id a, r_id b FROM pairs
+        |          UNION SELECT r_id, l_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |  WHERE edges.b <> reach.id),
+        |comp AS (SELECT id, least(id, min(r)) AS keeper FROM reach GROUP BY id)
+        |SELECT d2.doc_id, COALESCE(comp.keeper, d2.doc_id) AS keeper
+        |FROM documents d2 LEFT JOIN comp ON d2.doc_id = comp.id""".stripMargin,
 
     // ------- staged-fixture oracles (inputs written by the Spark query) ---
     "convert_ditto" -> {

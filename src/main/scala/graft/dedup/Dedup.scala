@@ -141,4 +141,30 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
       floor: Double = 0.8): DataFrame =
     minhashPairs(docs, idCol, textCol, bands = 8, rowsPerBand = 4, floor)
+
+  /** Near-dup CANONICALIZATION: transitive closure over similarity pairs
+    * → one keeper (min id) per near-dup cluster, one row per document.
+    * This is the keep-one step a training-data pipeline runs after any
+    * pair generator above (minhash / simhash / winnowing / embedding
+    * LSH): exact dedup canonicalizes by content hash; near-dup dedup
+    * must canonicalize by CONNECTED COMPONENT, because near-duplication
+    * is not transitive row-by-row (A~B, B~C, A≁C still collapse to one
+    * cluster — dropping pairwise losers double-keeps A and C).
+    *
+    * Scale shape: ConnectedComponents on 64-bit id edges (O(log n)
+    * rounds), then one left join back to the doc ids — document bodies
+    * are never touched.
+    *
+    * @param pairs any (l_id, r_id) pair table from the generators above.
+    * @return (doc_id, keeper) for EVERY document (singletons keep
+    *   themselves). */
+  def nearDupKeepers(docs: DataFrame, idCol: Column, pairs: DataFrame)
+      : DataFrame = {
+    val comps = graft.cluster.ConnectedComponents.run(docs.sparkSession,
+      pairs.select(col("l_id").as("src"), col("r_id").as("dst")))
+    docs.select(idCol.as("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keeper"))
+  }
 }

@@ -34,6 +34,16 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDupKeepers: transitive chain collapses to one keeper, singletons keep themselves") {
+    // A~B and B~C but A!~C: pairwise-loser dropping would double-keep 1
+    // and 3; component canonicalization must collapse all three to 1.
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("l_id", "r_id")
+    val keepers = Dedup.nearDupKeepers(docs, $"doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("simhash: near texts within small hamming distance, far texts not") {
     val a = "spark catalyst optimizer pushes filters into parquet scans"
     val b = "spark catalyst optimizer pushes filters into parquet files"
