@@ -43,8 +43,10 @@ object ConnectedComponents {
       .where($"src" =!= $"dst")
       .select(least($"src", $"dst").as("lo"), greatest($"src", $"dst").as("hi"))
       .distinct()
-    val nodes = base.select($"lo".as("id"))
-      .union(base.select($"hi".as("id"))).distinct()
+    // (node set is derived from the PERSISTED first-round edge set below,
+    // not from `base`: deriving it here would re-run the caller's whole
+    // upstream lineage — e.g. a minhash pair generation — a second time
+    // at the final assignment join.)
 
     // Materialize + checksum in ONE job: the order-independent exact
     // checksum (count + decimal sum of pair hashes; decimal keeps ANSI
@@ -80,6 +82,8 @@ object ConnectedComponents {
 
     // edge set invariant between rounds: canonical (hi > lo) pairs
     var (cur, curSum) = persistWithChecksum(base.select($"hi".as("u"), $"lo".as("v")))
+    val nodes = cur.select($"u".as("id"))
+      .union(cur.select($"v".as("id"))).distinct()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
