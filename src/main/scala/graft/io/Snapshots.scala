@@ -47,19 +47,85 @@ object Snapshots {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dataPath)
     val out = spark.read.parquet(dataPath)
-    val rows = out.count()
-    val wallMs = (System.nanoTime() - t0) / 1000000
+    writeManifest(root, stage, out.count(),
+      (System.nanoTime() - t0) / 1000000, df.schema.simpleString, extra)
+    out
+  }
+
+  /** Manifest-last = commit point (shared by commit / commitBucketed). */
+  private def writeManifest(root: String, stage: String, rows: Long,
+      wallMs: Long, schema: String, extra: Map[String, String]): Unit = {
     val fields = Map(
       "stage" -> s""""${esc(stage)}"""",
       "rows" -> rows.toString,
       "wall_ms" -> wallMs.toString,
-      "schema" -> s""""${esc(df.schema.simpleString)}"""") ++
+      "schema" -> s""""${esc(schema)}"""") ++
       extra.map { case (k, v) => k -> s""""${esc(v)}"""" }
     val json = fields.map { case (k, v) => s""""${esc(k)}": $v""" }
       .mkString("{", ", ", "}")
     Files.createDirectories(manifestPath(root, stage).getParent)
     Files.writeString(manifestPath(root, stage), json)
+  }
+
+  /** Table name for a bucketed stage (session-catalog identifier). */
+  private def tableName(stage: String): String =
+    "graft_" + stage.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Bucketed snapshot: write the stage as a hash-bucketed + per-file-
+    * sorted external parquet TABLE on `bucketCols`. A bucketed scan
+    * reports `HashPartitioning(bucketCols, nBuckets)`, so every later
+    * equi-join or aggregation on the bucket key is CO-LOCATED — Catalyst
+    * plans it with no shuffle exchange on the bucketed side(s)
+    * (plan-asserted in BucketedSnapshotSpec). At 100 TB this is the
+    * difference between re-shuffling the canonical corpus on every
+    * incremental batch and shuffling only the (much smaller) delta:
+    * bucket the corpus by entity/doc id once at commit time, then every
+    * enrichment join, delta merge, and per-id aggregate reuses that
+    * partitioning for free.
+    *
+    * The data lives under `<root>/<stage>` exactly like `commit`;
+    * bucket METADATA lives in the session catalog, so a fresh session
+    * resumes either via plain `spark.read.parquet` (data only, no
+    * co-location) or via `registerBucketed` (re-attaches the bucket
+    * layout over the same files — Spark's bucket ids ride the file
+    * names, so the DDL claim is sound for files this method wrote). */
+  def commitBucketed(spark: SparkSession, df: DataFrame, root: String,
+      stage: String, bucketCols: Seq[String], nBuckets: Int,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    require(bucketCols.nonEmpty && nBuckets > 0)
+    val t0 = System.nanoTime()
+    val table = tableName(stage)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", s"$root/$stage")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+    val out = spark.table(table)
+    writeManifest(root, stage, out.count(),
+      (System.nanoTime() - t0) / 1000000, df.schema.simpleString,
+      extra ++ Map("buckets" -> nBuckets.toString,
+        "bucket_cols" -> bucketCols.mkString(","), "table" -> table))
     out
+  }
+
+  /** Re-attach a bucketed snapshot written by `commitBucketed` in a
+    * (possibly new) session: external-table DDL over the existing files.
+    * Schema and bucket spec must match what was committed. */
+  def registerBucketed(spark: SparkSession, root: String, stage: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bucketCols: Seq[String], nBuckets: Int): DataFrame = {
+    val table = tableName(stage)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val bc = bucketCols.map(c => s"`$c`").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE $table ($cols) USING PARQUET
+         |CLUSTERED BY ($bc) SORTED BY ($bc) INTO $nBuckets BUCKETS
+         |LOCATION '$root/$stage'""".stripMargin)
+    spark.table(table)
   }
 
   /** Resume: return the snapshot if complete, else compute+commit it. */
