@@ -49,7 +49,14 @@ object PipelineApp {
     }
     Snapshots.writeLineage(spark, pages, workRoot, "pages")
 
-    val extracted = Snapshots.getOrCompute(spark, workRoot, "extracted") {
+    // extracted is the stage every downstream id-join re-reads (payload
+    // attachment in scorePairs, url re-attachment at clusters): commit it
+    // BUCKETED by id so those joins never shuffle the wide rows (titles,
+    // token arrays) — only slim pair tables move. Bucket count matches
+    // the shuffle-partition conf so the pairs side co-partitions 1:1.
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val extracted = Snapshots.getOrComputeBucketed(spark, workRoot,
+      "extracted", Seq("id"), nBuckets) {
       ERPipeline.extract(pages)
     }
     Snapshots.writeLineage(spark, extracted, workRoot, "extracted")

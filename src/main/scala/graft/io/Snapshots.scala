@@ -134,6 +134,16 @@ object Snapshots {
     if (isComplete(root, stage)) spark.read.parquet(s"$root/$stage")
     else commit(spark, compute, root, stage, partitionBy)
 
+  /** Bucketed resume: re-attach the committed bucket layout (schema read
+    * from the parquet footers), else compute + commitBucketed. */
+  def getOrComputeBucketed(spark: SparkSession, root: String, stage: String,
+      bucketCols: Seq[String], nBuckets: Int)(compute: => DataFrame)
+      : DataFrame =
+    if (isComplete(root, stage))
+      registerBucketed(spark, root, stage,
+        spark.read.parquet(s"$root/$stage").schema, bucketCols, nBuckets)
+    else commitBucketed(spark, compute, root, stage, bucketCols, nBuckets)
+
   /** Per-partition lineage rows for a stage output: one row per Spark
     * partition with row counts — appended to <root>/_lineage. */
   def writeLineage(spark: SparkSession, df: DataFrame, root: String,
