@@ -210,6 +210,23 @@ object SparkEntry {
         $"doc_id", $"text", k = 5, w = 4, floor = 0.4,
         maxPostingsFrac = 0.128, maxPostingsAbs = 64L)
     }),
+    "events_asof" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // point-in-time join: each click attaches its user's most recent
+      // view at-or-before the click (null if none) — leakage-free
+      // feature attachment. Oracle: DuckDB's native ASOF LEFT JOIN, a
+      // fully independent implementation of the same semantics.
+      val ev = t(dir, "events")
+      val clicks = ev.where($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts")
+      val views = ev.where($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts",
+          $"value".as("view_value"))
+      graft.ops.AsofJoin.asofBackward(clicks, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("view_id", "view_value"))
+        .select($"click_id", $"user_id",
+          $"asof_view_id", $"asof_view_value")
+    }),
     "emb_ann_topk" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Ann.bruteForceTopK(t(dir, "embeddings"), nQueries = 8, k = 5)
     }),
@@ -774,6 +791,15 @@ object SparkEntry {
          |  CASE WHEN precision + recall = 0.0 THEN 0.0
          |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
          |FROM pr""".stripMargin,
+    "events_asof" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+        |               FROM events WHERE event_type='click'),
+        |views AS (SELECT event_id AS view_id, user_id, ts, value AS view_value
+        |          FROM events WHERE event_type='view')
+        |SELECT c.click_id, c.user_id, v.view_id AS asof_view_id,
+        |       v.view_value AS asof_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
     "emb_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id query_id, v qv FROM e ORDER BY vec_id LIMIT 8),
