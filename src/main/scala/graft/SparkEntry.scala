@@ -227,6 +227,16 @@ object SparkEntry {
         .select($"click_id", $"user_id",
           $"asof_view_id", $"asof_view_value")
     }),
+    "events_sessionize" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // gap-based sessionization (6h gap — the sf corpora's median
+      // inter-event gap is ~7.3h, so the cut actually exercises both
+      // split and merge) + per-session rollup. Single exchange end-to-end
+      // (window and groupBy share the user_id hash partitioning).
+      val sessions = graft.ops.Sessionize.sessionize(t(dir, "events"),
+        $"user_id", $"ts", $"event_id", gapSeconds = 21600)
+      graft.ops.Sessionize.sessionStats(sessions, $"user_id", $"ts",
+        extraAggs = Seq(dsum($"value").as("total_value")))
+    }),
     "emb_ann_topk" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Ann.bruteForceTopK(t(dir, "embeddings"), nQueries = 8, k = 5)
     }),
@@ -800,6 +810,24 @@ object SparkEntry {
         |       v.view_value AS asof_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    // same window logic re-derived in DuckDB SQL: lag → gap flag → running
+    // sum (ROWS frame, unique (ts, event_id) order) → per-session rollup
+    "events_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 21600 SECOND
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM o),
+        |g AS (SELECT user_id, session_seq, min(ts) AS session_start,
+        |    max(ts) AS session_end, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  FROM s GROUP BY 1, 2)
+        |SELECT * FROM g""".stripMargin,
     "emb_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT vec_id query_id, v qv FROM e ORDER BY vec_id LIMIT 8),
