@@ -178,6 +178,33 @@ object SparkEntry {
         conv(substring(md5($"text"), 1, 15), 16, 10)
           .cast(LongType).as("fingerprint"))
     }),
+    "doc_stratified_sample" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // consistent hash sampling (membership = pure function of doc_id):
+      // reproducible under retries/repartition/AQE and across engines —
+      // df.sample's partition-RNG draw is none of those. Narrow codegen'd
+      // filter, zero shuffle.
+      graft.ops.Sampling.stratifiedSampleByKey(t(dir, "documents"),
+        $"lang", $"doc_id", Seq("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+        .select($"doc_id", $"lang", $"source")
+    }),
+    "url_canonicalize" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // crawl-corpus URL canonicalization over a staged messy-URL fixture
+      // (UrlGen: scheme/host case, www, default ports, dup slashes,
+      // trailing slash, fragments, tracking params, param order). The
+      // oracle re-derives the whole chain in DuckDB's regex engine —
+      // an independent implementation, not a replay.
+      val urls = stageOnce(s, "url_fixture", graft.gen.UrlGen.urls(s))
+      urls.select($"url_id",
+        graft.functions.UrlFunctions.canonicalizeUrl($"url").as("canon_url"))
+    }),
+    "doc_length_quantiles" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // exact discrete (nearest-rank) per-language length quantiles —
+      // always a real data value, so bit-exact cross-engine. The approx
+      // (sketch) scale path is pinned to this one in QuantilesSpec.
+      graft.ops.Quantiles.exactDisc(t(dir, "documents"),
+          $"lang", $"n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .withColumnRenamed("g", "lang")
+    }),
     "doc_minhash_neardup" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       Dedup.minhashPairs(t(dir, "documents"), $"doc_id", $"text",
         bands = 8, rowsPerBand = 4, jaccardFloor = 0.7)
@@ -209,6 +236,28 @@ object SparkEntry {
       TextAnalysis.winnowContainmentPairs(t(dir, "documents"),
         $"doc_id", $"text", k = 5, w = 4, floor = 0.4,
         maxPostingsFrac = 0.128, maxPostingsAbs = 64L)
+    }),
+    "doc_bm25_topk" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // BM25 ranked retrieval. Query terms are corpus-derived (df ranks
+      // 13-24 of the >=4-char vocabulary: selective but guaranteed to
+      // match documents at every sf), grouped 3 per query, and STAGED so
+      // the DuckDB twin reads identical query rows. The distributed
+      // orderBy+limit picks the top vocab BEFORE the 24-row window —
+      // no global sort of the vocabulary.
+      val docs = t(dir, "documents")
+      val queries = stageOnce(s, "bm25_queries", {
+        val termDf = docs.select(
+            explode(array_distinct(GraftFunctions.tokens($"text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("dft"))
+        val top = termDf.where(length($"term") >= 4)
+          .orderBy($"dft".desc, $"term".asc).limit(24)
+        top.withColumn("rn",
+            row_number().over(Window.orderBy($"dft".desc, $"term".asc)))
+          .where($"rn" > 12)
+          .select((($"rn" - lit(13)) / lit(3)).cast(LongType).as("query_id"),
+            $"term")
+      })
+      graft.text.Bm25.topK(docs, $"doc_id", $"text", queries, k = 10)
     }),
     "events_asof" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // point-in-time join: each click attaches its user's most recent
@@ -582,6 +631,61 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
         |FROM documents""".stripMargin,
+    // full canonicalization chain re-derived in DuckDB regex/list SQL;
+    // only the slash collapse needs the 'g' flag (Spark regexp_replace
+    // is always-global, the other patterns are anchored single-match)
+    "url_canonicalize" ->
+      s"""WITH u0 AS (SELECT url_id, trim(url) AS u
+        |  FROM ${stagePath("url_fixture")}),
+        |p1 AS (SELECT url_id,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme0,
+        |    regexp_replace(regexp_replace(u,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/@?#]*@', '') AS rest
+        |  FROM u0),
+        |p2 AS (SELECT url_id,
+        |    CASE WHEN scheme0 = '' THEN 'http' ELSE scheme0 END AS sch,
+        |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport,
+        |    regexp_replace(regexp_replace(rest, '^[^/?#]*', ''), '#.*$$', '') AS pqf
+        |  FROM p1),
+        |p3 AS (SELECT url_id, sch,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(hostport, '^([^:]*)', 1)),
+        |      '^www\\.', ''), '\\.$$', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+        |    rtrim(regexp_replace(regexp_extract(pqf, '^([^?]*)', 1),
+        |      '/+', '/', 'g'), '/') AS squashed,
+        |    regexp_extract(pqf, '\\?(.*)$$', 1) AS rawq
+        |  FROM p2),
+        |p4 AS (SELECT url_id, sch, host,
+        |    CASE WHEN port <> '' AND NOT (sch = 'http' AND port = '80')
+        |              AND NOT (sch = 'https' AND port = '443')
+        |         THEN ':' || port ELSE '' END AS portpart,
+        |    CASE WHEN squashed = '' THEN '/' ELSE squashed END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)(=.*)?$$'))),
+        |      '&') AS q
+        |  FROM p3)
+        |SELECT url_id, sch || '://' || host || portpart || path ||
+        |  CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url
+        |FROM p4""".stripMargin,
+    // nearest-rank re-derivation: same floor((n-1)*p) index arithmetic
+    "doc_length_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rank,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p)
+        |SELECT lang, p, n_chars AS q FROM r, ps
+        |WHERE rank = floor((n - 1) * p) + 1""".stripMargin,
+    // same 60-bit md5 unit value; IEEE division by 2^60 rounds identically
+    // in both engines, so membership is bit-reproducible cross-engine
+    "doc_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) / 1152921504606846976.0
+        |  < CASE WHEN lang = 'en' THEN 0.5
+        |         WHEN lang = 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
     // FNV-1a-64 per token (UBIGINT xor + HUGEINT modular multiply), then
     // per-bit majority votes — replicates Dedup.simhashUdf exactly
     // (validated 0 mismatches over the sf0.01 corpus before landing).
@@ -810,6 +914,42 @@ object SparkEntry {
         |       v.view_value AS asof_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    // full BM25 re-derivation: same tokenizer twin as er_similarity, same
+    // association order per arithmetic step; per-term scores snap to a
+    // 9-decimal grid and sum as DECIMAL (order-independent), so ranks
+    // can't float. Constants go through a consts CTE because bare DuckDB
+    // literals are DECIMAL, not DOUBLE.
+    "doc_bm25_topk" ->
+      s"""WITH consts AS (SELECT CAST(1.2 AS DOUBLE) AS k1,
+        |    CAST(0.75 AS DOUBLE) AS b, CAST(0.5 AS DOUBLE) AS half,
+        |    CAST(1 AS DOUBLE) AS one),
+        |d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS toks FROM documents),
+        |dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |post AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+        |tf AS (SELECT doc_id, term, dl, count(*) AS tf
+        |       FROM post GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl
+        |          FROM dd),
+        |q AS (SELECT query_id, term FROM ${stagePath("bm25_queries")}),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dft FROM tf
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |s AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(one + (n_docs - dft.dft + half) / (dft.dft + half))
+        |      * (tf.tf * (k1 + one))
+        |      / (tf.tf + k1 * (one - b + b * tf.dl / (sum_dl / n_docs))), 9)
+        |      AS DECIMAL(28,9)) AS s_dec
+        |  FROM tf JOIN dft USING (term) JOIN q USING (term), stats, consts),
+        |g AS (SELECT query_id, doc_id, sum(s_dec) AS score_dec
+        |      FROM s GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_dec, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score_dec DESC, doc_id)
+        |        AS rank FROM g)
+        |SELECT query_id, doc_id, round(CAST(score_dec AS DOUBLE), 6) AS score,
+        |  rank
+        |FROM r WHERE rank <= 10""".stripMargin,
     // same window logic re-derived in DuckDB SQL: lag → gap flag → running
     // sum (ROWS frame, unique (ts, event_id) order) → per-session rollup
     "events_sessionize" ->
