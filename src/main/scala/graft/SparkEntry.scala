@@ -178,6 +178,40 @@ object SparkEntry {
         conv(substring(md5($"text"), 1, 15), 16, 10)
           .cast(LongType).as("fingerprint"))
     }),
+    "doc_decontaminate" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // train/eval 8-gram-overlap decontamination. The eval fixture is
+      // STAGED so both engines read identical rows: 12-token spans cut
+      // from a hash-selected corpus slice (guaranteed contamination)
+      // plus synthetic holdout rows whose tokens appear nowhere in the
+      // corpus (guaranteed clean path). Eval side broadcasts; the
+      // corpus never shuffles.
+      val docs = t(dir, "documents")
+      val eval = stageOnce(s, "decon_eval", {
+        val spans = docs.where(pmod($"doc_id", lit(97)) === 3)
+          .select($"doc_id".as("eval_id"),
+            array_join(slice(GraftFunctions.tokens($"text"), 3, 12), " ")
+              .as("text"))
+        val clean = s.range(20).select(($"id" + 100000L).as("eval_id"),
+          concat_ws(" ", (0 until 9).map(j =>
+            concat(lit("holdout"), $"id", lit(s"x$j"))): _*).as("text"))
+        spans.unionByName(clean)
+      })
+      graft.text.Decontaminate.flagged(docs, $"doc_id", $"text",
+        eval, $"text", n = 8)
+    }),
+    "doc_repetition" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // Gopher-style repetition signals; integer counts only (the float
+      // rep_score filter consumes this table downstream, spec-only)
+      graft.text.Repetition.signals(t(dir, "documents"), $"doc_id", $"text")
+    }),
+    "doc_pii_redact" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // PII scrub over a staged injected corpus (the clean testdata has
+      // no PII, so PiiGen plants a closed-form population first); the
+      // oracle runs the byte-identical RE2-safe patterns in DuckDB.
+      val injected = stageOnce(s, "pii_docs",
+        graft.gen.PiiGen.inject(t(dir, "documents"), $"doc_id", $"text"))
+      graft.text.Pii.redact(injected, $"doc_id", $"text")
+    }),
     "doc_stratified_sample" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // consistent hash sampling (membership = pure function of doc_id):
       // reproducible under retries/repartition/AQE and across engines —
@@ -631,6 +665,69 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
         |FROM documents""".stripMargin,
+    // both gram sets re-derived from scratch (tokenizer twin + list
+    // comprehension); the eval fixture itself is staged, so the join
+    // input rows are byte-identical across engines
+    "doc_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS toks FROM documents),
+        |tg AS (SELECT DISTINCT doc_id, ngram FROM (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+        |    for i in range(1, greatest(len(toks)-7, 0)+1)]) AS ngram
+        |  FROM tok)),
+        |etok AS (SELECT list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS toks FROM ${stagePath("decon_eval")}),
+        |eg AS (SELECT DISTINCT ngram FROM (
+        |  SELECT unnest([array_to_string(toks[i:i+7], ' ')
+        |    for i in range(1, greatest(len(toks)-7, 0)+1)]) AS ngram
+        |  FROM etok))
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM tg JOIN eg USING (ngram) GROUP BY doc_id""".stripMargin,
+    // per-(doc, gram) counts for n in {1,2,3} in one pass, then the
+    // same conditional rollup; sums CAST to BIGINT (DuckDB sum is
+    // HUGEINT, Spark's is LONG)
+    "doc_repetition" ->
+      """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_concat(toks, list_concat(
+        |    [array_to_string(toks[i:i+1], ' ')
+        |      for i in range(1, greatest(len(toks)-1, 0)+1)],
+        |    [array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, greatest(len(toks)-2, 0)+1)]))) AS gram
+        |  FROM tok),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt,
+        |    len(string_split(gram, ' ')) AS n
+        |  FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |  CAST(coalesce(sum(CASE WHEN n = 1 THEN cnt END), 0) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT)
+        |    AS n_distinct_tokens,
+        |  CAST(coalesce(max(CASE WHEN n = 1 THEN cnt END), 0) AS BIGINT)
+        |    AS top1_count,
+        |  CAST(coalesce(max(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT)
+        |    AS top2_count,
+        |  CAST(coalesce(max(CASE WHEN n = 3 THEN cnt END), 0) AS BIGINT)
+        |    AS top3_count
+        |FROM c GROUP BY doc_id""".stripMargin,
+    // byte-identical RE2-safe patterns (graft.text.Pii constants) over
+    // the staged injected corpus; same email -> phone -> IPv4 order
+    "doc_pii_redact" ->
+      s"""SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${graft.text.Pii.emailRe}', '<EMAIL>', 'g'),
+        |    '${graft.text.Pii.phoneRe}', '<PHONE>', 'g'),
+        |    '${graft.text.Pii.ipv4Re}', '<IP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '${graft.text.Pii.emailRe}'))
+        |    AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '${graft.text.Pii.phoneRe}'))
+        |    AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '${graft.text.Pii.ipv4Re}'))
+        |    AS BIGINT) AS n_ip
+        |FROM ${stagePath("pii_docs")}""".stripMargin,
     // full canonicalization chain re-derived in DuckDB regex/list SQL;
     // only the slash collapse needs the 'g' flag (Spark regexp_replace
     // is always-global, the other patterns are anchored single-match)
