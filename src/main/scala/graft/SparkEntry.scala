@@ -255,6 +255,24 @@ object SparkEntry {
         bands = 8, rowsPerBand = 4, jaccardFloor = 0.7)
       Dedup.nearDupKeepers(docs, $"doc_id", pairs)
     }),
+    "doc_incremental_neardup" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // daily-increment dedup: a staged "re-crawl" batch (1/7 of the
+      // corpus, one appended token, remapped ids) deduped against the
+      // corpus BAND INDEX — the corpus is scanned, never reshuffled
+      // (increment bands broadcast). Oracle = exhaustive bipartite
+      // Jaccard; recall 1.0 of the LSH geometry is what the hash
+      // comparison certifies at this sf.
+      val docs = t(dir, "documents")
+      val inc = stageOnce(s, "inc_docs",
+        docs.where(pmod($"doc_id", lit(7)) === 2)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" freshcrawl")).as("text")))
+      val index = Dedup.minhashBandIndex(docs, $"doc_id", $"text",
+        bands = 8, rowsPerBand = 4)
+      Dedup.incrementalMinhashPairs(inc, $"doc_id", $"text", index,
+        docs, $"doc_id", $"text", bands = 8, rowsPerBand = 4,
+        jaccardFloor = 0.8)
+    }),
     "doc_simhash" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       t(dir, "documents").select($"doc_id",
         Dedup.simhash64($"text").as("simhash"))
@@ -869,6 +887,27 @@ object SparkEntry {
         |)
         |SELECT l_id, r_id, n_shared, containment FROM pair
         |WHERE containment >= 0.4""".stripMargin,
+    // exhaustive BIPARTITE shingle-Jaccard between the staged increment
+    // and the corpus (same recall-1.0 argument as doc_minhash_neardup:
+    // the deterministic band family loses nothing at this sf, so the
+    // exhaustive set IS the expected LSH output)
+    "doc_incremental_neardup" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') toks FROM documents),
+        |csh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in range(1, greatest(len(toks)-2, 0)+1)]) sh FROM d),
+        |di AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') toks FROM ${stagePath("inc_docs")}),
+        |ish AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in range(1, greatest(len(toks)-2, 0)+1)]) sh FROM di)
+        |SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id,
+        |  len(list_intersect(i.sh, c.sh)) /
+        |    len(list_distinct(list_concat(i.sh, c.sh))) AS jaccard
+        |FROM ish i JOIN csh c ON
+        |  len(list_intersect(i.sh, c.sh)) /
+        |    len(list_distinct(list_concat(i.sh, c.sh))) >= 0.8""".stripMargin,
     // LSH candidate generation is pruning, not semantics: on the sf0.01
     // corpus the deterministic band family has verified recall 1.0, so the
     // exhaustive O(n²) shingle-Jaccard set IS the expected output (checked

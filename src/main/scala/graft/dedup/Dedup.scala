@@ -95,6 +95,73 @@ object Dedup {
     minhashPairsWithStats(docs, idCol, textCol, bands, rowsPerBand,
       jaccardFloor, blockCap)._1
 
+  /** Corpus-side MinHash band index: one slim (block_key, id) row per
+    * band per document. This is the artifact an INCREMENTAL pipeline
+    * persists next to the corpus (bucketed by block_key via
+    * Snapshots.commitBucketed) so that deduplicating a new crawl batch
+    * never recomputes — or reshuffles — corpus signatures. */
+  def minhashBandIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val base = docs.select(idCol.as("id"), wordShingles(textCol).as("sh"))
+    Blocking.minhashBlocks(base.select(col("id"), col("sh").as("tokens")),
+      col("tokens"), bands, rowsPerBand).select("block_key", "id")
+  }
+
+  /** Near-dup pairs of a NEW increment against an EXISTING corpus via its
+    * band index: (inc_id, corpus_id, jaccard with jaccard >= floor).
+    *
+    * Scale shape (the 100 TB daily-batch pattern): the increment is tiny
+    * relative to the corpus, so its band keys BROADCAST — the corpus
+    * index is only scanned, never shuffled (and with a block_key-bucketed
+    * index table, not even sorted). Corpus TEXT is touched exactly once,
+    * by an id-equi-join that attaches shingles to verified candidates
+    * only. A degenerate hot band (boilerplate) fans the whole corpus to
+    * one increment row: `blockCap` bounds index rows per block with the
+    * drop count SURFACED via the returned stats table, mirroring the
+    * stream-static discipline (Streaming.capCorpusBlocks).
+    *
+    * Set `broadcastIncrement = false` when the "increment" is a backfill
+    * comparable in size to the corpus — the join then degrades to the
+    * ordinary shuffled band join of the batch path. */
+  def incrementalMinhashPairsWithStats(
+      increment: DataFrame, incId: Column, incText: Column,
+      corpusIndex: DataFrame, corpus: DataFrame, corpusId: Column,
+      corpusText: Column, bands: Int, rowsPerBand: Int,
+      jaccardFloor: Double, blockCap: Int = 10000,
+      broadcastIncrement: Boolean = true): (DataFrame, DataFrame) = {
+    val incBase = increment
+      .select(incId.as("inc_id"), wordShingles(incText).as("inc_sh"))
+    val incBlocks0 = Blocking.minhashBlocks(
+      incBase.select(col("inc_id"), col("inc_sh").as("tokens")),
+      col("tokens"), bands, rowsPerBand).select("block_key", "inc_id")
+    val incBlocks =
+      if (broadcastIncrement) broadcast(incBlocks0) else incBlocks0
+    val (cappedIndex, drops) = Blocking.capBlocks(
+      corpusIndex.select(col("block_key"), col("id").as("corpus_id")),
+      "block_key", "corpus_id", blockCap)
+    val candidates = cappedIndex.join(incBlocks, Seq("block_key"))
+      .select(col("inc_id"), col("corpus_id"))
+      .dropDuplicates("inc_id", "corpus_id")
+    val corpusSh = corpus.select(corpusId.as("corpus_id"),
+      wordShingles(corpusText).as("c_sh"))
+    val verified = candidates
+      .join(incBase, Seq("inc_id"))
+      .join(corpusSh, Seq("corpus_id"))
+      .select(col("inc_id"), col("corpus_id"),
+        Similarity.jaccard(col("inc_sh"), col("c_sh")).as("jaccard"))
+      .where(col("jaccard") >= jaccardFloor)
+    (verified, drops)
+  }
+
+  /** Pairs-only view of `incrementalMinhashPairsWithStats`. */
+  def incrementalMinhashPairs(
+      increment: DataFrame, incId: Column, incText: Column,
+      corpusIndex: DataFrame, corpus: DataFrame, corpusId: Column,
+      corpusText: Column, bands: Int, rowsPerBand: Int,
+      jaccardFloor: Double): DataFrame =
+    incrementalMinhashPairsWithStats(increment, incId, incText, corpusIndex,
+      corpus, corpusId, corpusText, bands, rowsPerBand, jaccardFloor)._1
+
   /** 64-bit SimHash over word tokens (JVM function; still a narrow map). */
   val simhashUdf = udf { (toks: Seq[String]) =>
     if (toks == null || toks.isEmpty) 0L
