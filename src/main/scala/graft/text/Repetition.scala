@@ -35,15 +35,17 @@ object Repetition {
     * (doc_id, n_tokens, n_distinct_tokens, top1_count, top2_count,
     * top3_count). Docs shorter than n tokens report top<n>_count = 0. */
   def signals(df: DataFrame, docId: Column, text: Column): DataFrame = {
-    val toks = GraftFunctions.tokens(text)
     // one row per (doc, gram occurrence), all three orders at once;
     // order is recoverable from the gram itself (spaces), so the
-    // exploded row stays a slim pair
+    // exploded row stays a slim pair. The tokenizer is bound ONCE via
+    // the lambda variable (Catalyst would otherwise inline its regex
+    // chain into all three gram expressions — see wordNgrams PERF note).
     val grams = df.select(docId.as("doc_id"),
-      explode(concat(
-        toks,
-        Decontaminate.wordNgrams(toks, 2),
-        Decontaminate.wordNgrams(toks, 3))).as("gram"))
+      explode(element_at(transform(array(GraftFunctions.tokens(text)),
+        ts => concat(
+          ts,
+          Decontaminate.wordNgrams(ts, 2),
+          Decontaminate.wordNgrams(ts, 3))), 1)).as("gram"))
     val counted = grams
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
