@@ -91,16 +91,27 @@ object Blocking {
 
   /** Cap rows per block at `cap` (deterministic by `orderCol`), returning
     * (kept, dropCounts) — dropCounts is a small metrics table
-    * (block_key, n_total, n_dropped) for every truncated block. */
+    * (block_key, n_total, n_dropped) for every truncated block.
+    *
+    * Skew-aware plan: a naive per-block row_number would shuffle + sort
+    * the ENTIRE input, even though capping only ever bites the (few, by
+    * construction) hot blocks. Instead the hot key set is found with one
+    * slim aggregation (map-side partials collapse to distinct keys per
+    * partition), then BROADCAST: cold rows — the overwhelming majority —
+    * pass through a broadcast anti-join untouched, and only hot-block
+    * rows pay the window sort. The input at large never exchanges. */
   def capBlocks(df: DataFrame, keyCol: String, orderCol: String, cap: Int)
       : (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    val ranked = df.withColumn("_rn", row_number().over(w))
-    val kept = ranked.where(col("_rn") <= cap).drop("_rn")
-    val drops = ranked.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_total"))
+    val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_total"))
       .where(col("n_total") > cap)
-      .withColumn("n_dropped", col("n_total") - cap)
+    val hotKeys = broadcast(sizes.select(col(keyCol)))
+    val cold = df.join(hotKeys, Seq(keyCol), "left_anti")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val hotCapped = df.join(broadcast(sizes.select(col(keyCol))), Seq(keyCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap).drop("_rn")
+    val kept = cold.unionByName(hotCapped)
+    val drops = sizes.withColumn("n_dropped", col("n_total") - cap)
     (kept, drops)
   }
 

