@@ -718,8 +718,8 @@ object SparkEntry {
         |  FROM tok),
         |c AS (SELECT doc_id, gram, count(*) AS cnt,
         |    len(string_split(gram, ' ')) AS n
-        |  FROM g GROUP BY doc_id, gram)
-        |SELECT doc_id,
+        |  FROM g GROUP BY doc_id, gram),
+        |a AS (SELECT doc_id,
         |  CAST(coalesce(sum(CASE WHEN n = 1 THEN cnt END), 0) AS BIGINT)
         |    AS n_tokens,
         |  CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT)
@@ -730,22 +730,36 @@ object SparkEntry {
         |    AS top2_count,
         |  CAST(coalesce(max(CASE WHEN n = 3 THEN cnt END), 0) AS BIGINT)
         |    AS top3_count
-        |FROM c GROUP BY doc_id""".stripMargin,
+        |FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  coalesce(a.top1_count, 0) AS top1_count,
+        |  coalesce(a.top2_count, 0) AS top2_count,
+        |  coalesce(a.top3_count, 0) AS top3_count
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
     // byte-identical RE2-safe patterns (graft.text.Pii constants) over
-    // the staged injected corpus; same email -> phone -> IPv4 order
+    // the staged injected corpus; same email -> phone -> IPv4 order, with
+    // counts on the progressively redacted text (each span attributed to
+    // exactly the family whose placeholder replaces it)
     "doc_pii_redact" ->
-      s"""SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '${graft.text.Pii.emailRe}', '<EMAIL>', 'g'),
-        |    '${graft.text.Pii.phoneRe}', '<PHONE>', 'g'),
-        |    '${graft.text.Pii.ipv4Re}', '<IP>', 'g') AS clean_text,
-        |  CAST(len(regexp_extract_all(text, '${graft.text.Pii.emailRe}'))
+      s"""WITH t0 AS (SELECT doc_id, text AS s0 FROM ${stagePath("pii_docs")}),
+        |t1 AS (SELECT doc_id, s0,
+        |    regexp_replace(s0, '${graft.text.Pii.emailRe}', '<EMAIL>', 'g') AS s1
+        |  FROM t0),
+        |t2 AS (SELECT doc_id, s0, s1,
+        |    regexp_replace(s1, '${graft.text.Pii.phoneRe}', '<PHONE>', 'g') AS s2
+        |  FROM t1)
+        |SELECT doc_id,
+        |  regexp_replace(s2, '${graft.text.Pii.ipv4Re}', '<IP>', 'g')
+        |    AS clean_text,
+        |  CAST(len(regexp_extract_all(s0, '${graft.text.Pii.emailRe}'))
         |    AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(text, '${graft.text.Pii.phoneRe}'))
+        |  CAST(len(regexp_extract_all(s1, '${graft.text.Pii.phoneRe}'))
         |    AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(text, '${graft.text.Pii.ipv4Re}'))
+        |  CAST(len(regexp_extract_all(s2, '${graft.text.Pii.ipv4Re}'))
         |    AS BIGINT) AS n_ip
-        |FROM ${stagePath("pii_docs")}""".stripMargin,
+        |FROM t2""".stripMargin,
     // full canonicalization chain re-derived in DuckDB regex/list SQL;
     // only the slash collapse needs the 'g' flag (Spark regexp_replace
     // is always-global, the other patterns are anchored single-match)

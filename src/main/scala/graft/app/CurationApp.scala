@@ -44,16 +44,21 @@ object CurationApp {
       rowsPerBand: Int = 4,
       deconNgram: Int = 8,
       maxRepScore: Double = 0.5,
-      minTokens: Long = 5L,
+      minChars: Long = 20L,
       sampleRates: Seq[(String, Double)] = Seq("en" -> 0.5),
       sampleDefaultRate: Double = 0.25)
 
   def main(args: Array[String]): Unit = {
     val workRoot = args.headOption.getOrElse("/tmp/graft-curation")
+    require(!workRoot.startsWith("--"),
+      s"first argument is the workRoot, got flag-like '$workRoot' — " +
+        "usage: CurationApp <workRoot> --input <docsParquet> [--eval <p>]")
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
     val input = opt("--input").getOrElse(
       sys.error("CurationApp requires --input <docsParquet>"))
+    require(!input.startsWith("--"),
+      s"--input is followed by another flag ('$input'), not a path")
     val eval = opt("--eval")
 
     val spark = SparkSession.builder()
@@ -76,13 +81,25 @@ object CurationApp {
   def run(spark: SparkSession, workRoot: String, docs: DataFrame,
       evalDocs: Option[DataFrame], cfg: Config = Config()): DataFrame = {
     import spark.implicits._
+    // Stats describe the run that PRODUCED each snapshot: when a stage is
+    // computed, its rows in/out are counted and sealed into the stage
+    // manifest; when a stage is RESUMED, they are read back from that
+    // manifest — never recomputed against the current (possibly
+    // different) input, which would fabricate audit numbers describing
+    // no run that ever happened.
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     def staged(name: String, in: => DataFrame)(f: DataFrame => DataFrame)
         : DataFrame = {
-      val inDf = in
-      val out = Snapshots.getOrCompute(spark, workRoot, name)(f(inDf))
-      Snapshots.writeLineage(spark, out, workRoot, name)
-      counts += ((name, inDf.count(), out.count()))
+      val resumed = Snapshots.isComplete(workRoot, name)
+      lazy val inDf = in
+      val out = Snapshots.getOrCompute(spark, workRoot, name,
+        extra = Map("rows_in" -> inDf.count().toString))(f(inDf))
+      if (!resumed) Snapshots.writeLineage(spark, out, workRoot, name)
+      val rowsIn = Snapshots.manifestField(workRoot, name, "rows_in")
+        .map(_.toLong).getOrElse(0L)
+      val rowsOut = Snapshots.manifestField(workRoot, name, "rows")
+        .map(_.toLong).getOrElse(0L)
+      counts += ((name, rowsIn, rowsOut))
       out
     }
 
@@ -93,17 +110,20 @@ object CurationApp {
         .withColumnRenamed("clean_text", "text")
     }
 
-    // 2. quality gate: minimum length + repetition ceiling. Signals join
-    // back by id so the corpus row stays intact (slim join, body never
-    // in the aggregate).
+    // 2. quality gate: SCRIPT-NEUTRAL length floor (chars, not Latin
+    // tokens — a zh/ru doc must not die because the tokenizer can't see
+    // it) + repetition ceiling. Signals left-join back by id with a
+    // benign default (no gram evidence -> rep_score 0), so token-less
+    // docs pass through to script-appropriate downstream gates instead
+    // of being silently misattributed to "quality".
     val quality = staged("quality", piiClean) { d =>
       val sig = Repetition.repetitionScore(
         Repetition.signals(d, col("doc_id"), col("text")))
-        .select(col("doc_id"), col("n_tokens"), col("rep_score"))
-      d.join(sig, Seq("doc_id"))
-        .where(col("n_tokens") >= cfg.minTokens &&
-          col("rep_score") <= cfg.maxRepScore)
-        .drop("n_tokens", "rep_score")
+        .select(col("doc_id"), col("rep_score"))
+      d.join(sig, Seq("doc_id"), "left")
+        .where(length(col("text")) >= cfg.minChars &&
+          coalesce(col("rep_score"), lit(0.0)) <= cfg.maxRepScore)
+        .drop("rep_score")
     }
 
     // 3. exact dedup — keep the min-id representative per content hash
@@ -133,11 +153,10 @@ object CurationApp {
 
     // 6. the training cut — consistent-hash membership (reproducible
     // under retries and across runs; re-sampling a re-run is a no-op)
-    val sampled = staged("sample", deconKept) { d =>
+    staged("sample", deconKept) { d =>
       graft.ops.Sampling.stratifiedSampleByKey(d, col("lang"),
         col("doc_id"), cfg.sampleRates, cfg.sampleDefaultRate)
     }
-    sampled.count() // materialize the terminal stage before stats commit
 
     val stats = counts.toSeq.toDF("stage", "rows_in", "rows_out")
       .withColumn("rows_dropped", col("rows_in") - col("rows_out"))

@@ -104,10 +104,14 @@ object Blocking {
       : (DataFrame, DataFrame) = {
     val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_total"))
       .where(col("n_total") > cap)
-    val hotKeys = broadcast(sizes.select(col(keyCol)))
-    val cold = df.join(hotKeys, Seq(keyCol), "left_anti")
+    // null-SAFE joins (<=>): groupBy treats null keys as one group, so a
+    // hot null block must route to the window branch too — a plain
+    // equi-join would silently pass it through uncapped while the drops
+    // table claimed otherwise
+    val hotKeys = broadcast(sizes.select(col(keyCol).as("_hk")))
+    val cold = df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_anti")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    val hotCapped = df.join(broadcast(sizes.select(col(keyCol))), Seq(keyCol))
+    val hotCapped = df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_semi")
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= cap).drop("_rn")
     val kept = cold.unionByName(hotCapped)

@@ -128,11 +128,31 @@ object Snapshots {
     spark.table(table)
   }
 
-  /** Resume: return the snapshot if complete, else compute+commit it. */
+  /** Resume: return the snapshot if complete, else compute+commit it.
+    * `extra` key/values are recorded in the manifest ONLY when the stage
+    * is computed this run — a resumed stage keeps the manifest of the run
+    * that produced it (read back via `manifestField`). */
   def getOrCompute(spark: SparkSession, root: String, stage: String,
-      partitionBy: Seq[String] = Nil)(compute: => DataFrame): DataFrame =
+      partitionBy: Seq[String] = Nil,
+      extra: => Map[String, String] = Map.empty)(compute: => DataFrame)
+      : DataFrame =
     if (isComplete(root, stage)) spark.read.parquet(s"$root/$stage")
-    else commit(spark, compute, root, stage, partitionBy)
+    else commit(spark, compute, root, stage, partitionBy, extra)
+
+  /** Read one field back from a stage manifest (string fields unquoted).
+    * The manifest is the flat JSON object writeManifest produced. */
+  def manifestField(root: String, stage: String, key: String)
+      : Option[String] = {
+    val p = manifestPath(root, stage)
+    if (!Files.exists(p)) None
+    else {
+      val json = Files.readString(p)
+      val re = ("\"" + java.util.regex.Pattern.quote(key) +
+        "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|([-0-9.eE+]+))").r
+      re.findFirstMatchIn(json).map(m =>
+        Option(m.group(1)).getOrElse(m.group(2)))
+    }
+  }
 
   /** Bucketed resume: re-attach the committed bucket layout (schema read
     * from the parquet footers), else compute + commitBucketed. */

@@ -13,11 +13,9 @@ import graft.functions.GraftFunctions
  * curation (query-based subcorpus selection, contamination checks).
  *
  * Topology, in corpus-size order:
- *  - postings (doc_id, term, tf, dl) from one explode + partial-agg'd
- *    groupBy — the only corpus-wide shuffle;
- *  - postings are pruned to QUERY terms by a broadcast semi-join BEFORE
- *    any scoring work: downstream cost scales with |matching postings|,
- *    not corpus size;
+ *  - exploded tokens are pruned to QUERY terms by a broadcast semi-join
+ *    BEFORE the postings aggregation, so the one shuffle in the plan
+ *    carries |matching postings| partials — never the corpus vocabulary;
  *  - per-term document frequencies and the (n_docs, avgdl) stats row are
  *    tiny aggregates, broadcast back;
  *  - per-query top-k via row_number over per-query partitions of the
@@ -41,15 +39,17 @@ object Bm25 {
       GraftFunctions.tokens(text).as("toks"))
     val withDl = toks.select(col("doc_id"), size(col("toks")).as("dl"),
       col("toks"))
-    val posting = withDl
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
     val stats = withDl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
 
     val qterms = queries.select(col("query_id"), col("term"))
-    val qpost = posting.join(
-      broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    // prune at the narrowest point: exploded (doc_id, dl, term) rows drop
+    // every non-query term before the tf aggregation, so the groupBy
+    // exchange is proportional to matching postings, not corpus vocabulary
+    val qpost = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
     val dft = qpost.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("dft"))
 

@@ -18,11 +18,13 @@ import org.apache.spark.sql.types._
  * byte-identical pattern text.
  *
  * Replacement ORDER is part of the contract: email → phone → IPv4.
- * Counts are computed on the ORIGINAL text (per-type, independent),
- * which is only coherent because the three pattern families cannot
- * overlap on the same span (an email's local part may contain dots and
- * digits, but `@` never appears in a phone/IP match; phone requires
- * dashes, IPv4 dots).
+ * Counts are computed on the PROGRESSIVELY REDACTED text (n_phone on
+ * the email-redacted string, n_ip on the phone-redacted one), so every
+ * span is attributed to exactly the family that redacts it — a phone
+ * or IPv4 embedded inside an email local part (`555-123-4567@ex.com`,
+ * `x@10.1.2.3.net`) counts as the email it disappears into, never as a
+ * phantom phone/IP that no placeholder accounts for. Audit invariant:
+ * n_<type> == occurrences of `<TYPE>` added to clean_text.
  */
 object Pii {
 
@@ -42,10 +44,16 @@ object Pii {
     * untouched docs pass through with zero counts, so the output is a
     * drop-in replacement for the input corpus. */
   def redact(df: DataFrame, docId: Column, text: Column): DataFrame =
-    df.select(
-      docId.as("doc_id"),
-      redactText(text).as("clean_text"),
-      regexp_count(text, lit(emailRe)).cast(LongType).as("n_email"),
-      regexp_count(text, lit(phoneRe)).cast(LongType).as("n_phone"),
-      regexp_count(text, lit(ipv4Re)).cast(LongType).as("n_ip"))
+    df.select(docId.as("doc_id"), text.as("_t0"))
+      .withColumn("n_email",
+        regexp_count(col("_t0"), lit(emailRe)).cast(LongType))
+      .withColumn("_t1", regexp_replace(col("_t0"), emailRe, "<EMAIL>"))
+      .withColumn("n_phone",
+        regexp_count(col("_t1"), lit(phoneRe)).cast(LongType))
+      .withColumn("_t2", regexp_replace(col("_t1"), phoneRe, "<PHONE>"))
+      .withColumn("n_ip",
+        regexp_count(col("_t2"), lit(ipv4Re)).cast(LongType))
+      .select(col("doc_id"),
+        regexp_replace(col("_t2"), ipv4Re, "<IP>").as("clean_text"),
+        col("n_email"), col("n_phone"), col("n_ip"))
 }

@@ -31,9 +31,12 @@ import org.apache.spark.sql.types._
  */
 object Repetition {
 
-  /** Per-doc repetition signal table:
+  /** Per-doc repetition signal table — ONE row per input doc:
     * (doc_id, n_tokens, n_distinct_tokens, top1_count, top2_count,
-    * top3_count). Docs shorter than n tokens report top<n>_count = 0. */
+    * top3_count). Docs shorter than n tokens report top<n>_count = 0;
+    * docs with no tokens at all (e.g. non-Latin scripts under this
+    * tokenizer) report all-zero signals rather than vanishing — callers
+    * gate on other evidence for those, they don't silently lose them. */
   def signals(df: DataFrame, docId: Column, text: Column): DataFrame = {
     // one row per (doc, gram occurrence), all three orders at once;
     // order is recoverable from the gram itself (spaces), so the
@@ -51,13 +54,17 @@ object Repetition {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("n", size(split(col("gram"), " ", -1)))
     val z = lit(0L)
-    counted.groupBy(col("doc_id")).agg(
+    val agg = counted.groupBy(col("doc_id")).agg(
       coalesce(sum(when(col("n") === 1, col("cnt"))), z).as("n_tokens"),
       coalesce(count(when(col("n") === 1, lit(1))), z)
         .as("n_distinct_tokens"),
       coalesce(max(when(col("n") === 1, col("cnt"))), z).as("top1_count"),
       coalesce(max(when(col("n") === 2, col("cnt"))), z).as("top2_count"),
       coalesce(max(when(col("n") === 3, col("cnt"))), z).as("top3_count"))
+    // re-attach token-less docs (explode produced no rows for them)
+    df.select(docId.as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct_tokens",
+        "top1_count", "top2_count", "top3_count"))
   }
 
   /** Float repetition score for filtering (NOT oracle-checked: float

@@ -36,6 +36,15 @@ class BlockingSpec extends SparkSuite {
     assert("(?s)Window".r.findAllIn(plan).size >= 1)
   }
 
+  test("capBlocks caps a hot NULL key like the window twin (null-safe join)") {
+    val df = ((0 until 300).map(i => (null: String, i.toLong)) ++
+      (0 until 10).map(i => ("k", (1000 + i).toLong))).toDF("block_key", "id")
+    val (kept, drops) = Blocking.capBlocks(df, "block_key", "id", cap = 50)
+    assert(kept.count() === 60L) // 50 capped nulls + 10 cold rows
+    val d = drops.as[(Option[String], Long, Long)].collect()
+    assert(d.toSeq === Seq((None, 300L, 250L)))
+  }
+
   test("capBlocks with no oversized block is a row-preserving no-op") {
     val df = (0 until 100).map(i => (s"k${i % 20}", i.toLong)).toDF("block_key", "id")
     val (kept, drops) = Blocking.capBlocks(df, "block_key", "id", cap = 50)

@@ -42,6 +42,22 @@ class PiiSpec extends SparkSuite {
     assert(out(2L)._4 === 0L)
   }
 
+  test("embedded spans attribute to the family that redacts them") {
+    // a phone and an IP shape INSIDE email local parts/domains: the email
+    // placeholder swallows them, so n_phone/n_ip must be 0 — the audit
+    // invariant is n_<type> == placeholders of that type in clean_text
+    val df = Seq(
+      (0L, "wire 555-123-4567@example.com today"),
+      (1L, "ping x@10.1.2.3.net now")).toDF("doc_id", "text")
+    val out = Pii.redact(df, $"doc_id", $"text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._2 === "wire <EMAIL> today")
+    assert((out(0L)._3, out(0L)._4, out(0L)._5) === ((1L, 0L, 0L)))
+    assert(out(1L)._2 === "ping <EMAIL> now")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) === ((1L, 0L, 0L)))
+  }
+
   test("PiiGen: injected corpus counts match the closed-form plan") {
     val docs = (0L until 1000L).map(i => (i, s"base text $i")).toDF("doc_id", "text")
     val injected = PiiGen.inject(docs, $"doc_id", $"text")

@@ -25,11 +25,17 @@ class RepetitionSpec extends SparkSuite {
       // pathological two-token doc: no trigram at all -> 0
       (2L, "x y"),
       // pure repetition: "z z z z z z" top3 = 4 ("z z z" at 4 offsets)
-      (3L, "z z z z z z")))
+      (3L, "z z z z z z"),
+      // token-less under this tokenizer (non-Latin / punctuation): one
+      // all-zero row, NOT a vanished doc
+      (4L, "!!! ???"),
+      (5L, "中文文本没有拉丁字符")))
     assert(out(0L) === Seq(4L, 2L, 3L, 2L, 1L))
     assert(out(1L) === Seq(5L, 5L, 1L, 1L, 1L))
     assert(out(2L) === Seq(2L, 2L, 1L, 1L, 0L))
     assert(out(3L) === Seq(6L, 1L, 6L, 5L, 4L))
+    assert(out(4L) === Seq(0L, 0L, 0L, 0L, 0L))
+    assert(out(5L) === Seq(0L, 0L, 0L, 0L, 0L))
   }
 
   test("signals are repartition-invariant") {
