@@ -349,6 +349,19 @@ object SparkEntry {
       Ann.ivfTopK(t(dir, "embeddings"), nQueries = 8, k = 5,
         nlist = 8, nprobe = 8)
     }),
+    "emb_kmeans_topics" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // embedding-space topic bucketing: Lloyd-trained centroids (staged
+      // so the DuckDB twin reads the identical doubles) + declarative
+      // nearest-centroid assignment — rounded-dot argmax, ties to the
+      // smallest centroid id, zero shuffle over the corpus.
+      val emb = t(dir, "embeddings")
+      val cents = Ann.trainIvfCentroids(emb, nlist = 8, lloydIters = 2)
+      stageOnce(s, "kmeans_centroids",
+        cents.zipWithIndex.toSeq
+          .map { case (c, i) => (i.toLong, c.toSeq) }
+          .toDF("list_id", "centroid"))
+      Ann.kmeansAssign(emb, cents)
+    }),
     "emb_neardup_lsh" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // Two populations through ONE production pair path: the testdata
       // table (no pair ≥ 0.9 at any sf — the true-negative leg) plus a
@@ -1127,6 +1140,19 @@ object SparkEntry {
         |r AS (SELECT s.*, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin,
+    // nearest staged centroid by the same rounded inner product; the
+    // window's (dot DESC, list_id ASC) order replicates the first-max
+    // tie-break of Spark's array_position argmax
+    "emb_kmeans_topics" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings),
+        |c AS (SELECT list_id, centroid FROM ${stagePath("kmeans_centroids")}),
+        |d AS (SELECT vec_id, list_id,
+        |    round(list_dot_product(v, centroid), 6) AS dot FROM e, c),
+        |r AS (SELECT vec_id, list_id, dot, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dot DESC, list_id ASC) AS rn
+        |  FROM d)
+        |SELECT vec_id, list_id AS topic, dot FROM r WHERE rn = 1""".stripMargin,
     // full-probe IVF ≡ brute force: identical oracle shape to emb_ann_topk
     "emb_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -95,6 +95,32 @@ object Ann {
     cents
   }
 
+  /** Hard k-means TOPIC assignment over a trained centroid matrix — the
+    * corpus-clustering consumer of `trainIvfCentroids` (topic bucketing /
+    * embedding-space stratification of a training corpus). Returns
+    * (vec_id, topic, dot): nearest centroid by inner product rounded to
+    * the 6-decimal cross-engine grid, ties to the SMALLEST centroid id
+    * (array_position finds the first max).
+    *
+    * Shape: pure column expressions over the broadcast-sized centroid
+    * literals — a narrow, zero-shuffle projection; the corpus only gets
+    * scanned. For nlist beyond a few dozen, prefer `nearestList` (one JVM
+    * function instead of nlist expression trees — plan-size blowup, see
+    * note below); this declarative twin exists for the oracle path and
+    * is spec-pinned assignment-identical to `nearestList`. */
+  def kmeansAssign(emb: DataFrame, centroids: Array[Array[Double]])
+      : DataFrame = {
+    val dots = centroids.map { c =>
+      round(aggregate(
+        zip_with(col("embedding"), lit(c), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x), 6)
+    }
+    val arr = array(dots.toSeq: _*)
+    emb.select(col("vec_id"),
+      (array_position(arr, array_max(arr)) - 1).as("topic"),
+      array_max(arr).as("dot"))
+  }
+
   /** Nearest-centroid assignment as a compact per-row JVM function over
     * the broadcast centroid matrix (nlist × dim multiply-adds per row;
     * a per-centroid expression tree would blow up plan size the same way

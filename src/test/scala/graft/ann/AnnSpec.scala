@@ -149,6 +149,22 @@ class AnnSpec extends SparkSuite {
     assert(z(-1L) === 0L)
   }
 
+  test("kmeansAssign: declarative twin matches nearestList; zero shuffle") {
+    val emb = fixture(60, 32)
+    val cents = Ann.trainIvfCentroids(emb, nlist = 6, lloydIters = 2)
+    val a = Ann.kmeansAssign(emb, cents)
+      .select($"vec_id", $"topic").as[(Long, Long)].collect().toMap
+    val b = emb.select($"vec_id",
+        Ann.nearestList($"embedding", cents).cast("long").as("topic"))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a.size === 120) // every vector assigned exactly once
+    assert(a.values.toSet.size > 1, "degenerate single-topic clustering")
+    val plan = Ann.kmeansAssign(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("signature is deterministic across partitionings") {
     val emb = fixture(20, 16)
     def sigs(parts: Int) = Ann.rhpSignature($"embedding", 10, 16)

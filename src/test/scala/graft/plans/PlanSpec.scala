@@ -113,4 +113,69 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), plan)
   }
+
+  test("stratified sample is a narrow codegen'd filter over the scan") {
+    val plan = planString(SparkEntry.queries("doc_stratified_sample")(spark, dir))
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    assert(plan.contains("Filter"), plan)
+  }
+
+  test("BM25 prunes to query terms BEFORE the postings aggregation") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0L until 200L).map(i =>
+        (i, s"alpha beta w${i % 17} w${i % 23} gamma")).toDF("doc_id", "text")
+      val queries = Seq((0L, "alpha"), (0L, "gamma")).toDF("query_id", "term")
+      val df = graft.text.Bm25.topK(docs, $"doc_id", $"text", queries, k = 5)
+      val plan = df.queryExecution.executedPlan
+      // the tf aggregation's exchange must sit ABOVE a broadcast semi-join
+      // (term prune), so its input is matching postings, not vocabulary:
+      // every shuffle that carries `term` must have a BroadcastHashJoin
+      // somewhere beneath it
+      // postings-shaped = carries term AND doc_id (the broadcast build
+      // side's own tiny distinct-terms exchange is exempt)
+      val termShuffles = plan.collect {
+        case s: ShuffleExchangeExec if s.output.exists(_.name == "term") &&
+          s.output.exists(_.name == "doc_id") => s
+      }
+      assert(termShuffles.nonEmpty, plan.toString)
+      termShuffles.foreach { s =>
+        assert(s.toString.contains("BroadcastHashJoin"),
+          s"postings exchange not pruned by the query-term semi-join:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("incremental dedup: corpus index rows never shuffle (broadcast-only joins)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = (0L until 300L).map(i =>
+        (i, (0 until 10).map(j => s"w${(i * 3 + j) % 50}").mkString(" ")))
+        .toDF("doc_id", "text")
+      val inc = corpus.where($"doc_id" % 29 === 0)
+        .select(($"doc_id" + 1000L).as("doc_id"),
+          concat($"text", lit(" fresh")).as("text"))
+      val index = graft.dedup.Dedup.minhashBandIndex(corpus, $"doc_id", $"text", 4, 2)
+      val (pairs, _) = graft.dedup.Dedup.incrementalMinhashPairsWithStats(
+        inc, $"doc_id", $"text", index, corpus, $"doc_id", $"text", 4, 2, 0.5)
+      // the band join itself must be broadcast: any (block_key,
+      // corpus_id) exchange must sit ABOVE a broadcast prune (the
+      // hot-block cap's window branch), never directly over the raw index
+      val plan = pairs.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+      val bandShuffles = plan.collect {
+        case s: ShuffleExchangeExec
+          if s.output.exists(_.name == "block_key") &&
+             s.output.exists(_.name == "corpus_id") => s
+      }
+      bandShuffles.foreach { s =>
+        assert(s.toString.contains("BroadcastHashJoin"),
+          s"raw corpus index shuffled on block_key:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
