@@ -34,35 +34,44 @@ object SparkEntry {
   /** Oracle staging: operator INPUTS that both engines must read byte-
     * identically (synthesized fixtures) are written here as parquet by the
     * Spark query, then read back so the Spark plan and the DuckDB oracle
-    * consume the same rows. Content is seed-deterministic, so concurrent
-    * overwrites across sf runs are value-identical. */
-  private val stageRoot = "/root/repo/target/oracle_stage"
+    * consume the same rows. Generator-derived fixtures (PageGen/UrlGen/
+    * EmbGen) are seed-deterministic and sf-independent; CORPUS-derived
+    * fixtures differ per sf dir, so their staged bytes are only valid for
+    * the dir that produced them (tracked via `tag` below). CONCURRENT
+    * JVMs running different sf dirs must isolate via
+    * SPARK_GRAFT_STAGE_ROOT — the oracle SQL embeds this root at dump
+    * time, so each JVM's oracle reads its own staging. */
+  private val stageRoot = sys.env.getOrElse("SPARK_GRAFT_STAGE_ROOT",
+    "/root/repo/target/oracle_stage")
 
-  private def stageAndRead(spark: SparkSession, name: String, df: DataFrame)
-      : DataFrame = {
+  private def stageAndRead(spark: SparkSession, name: String, df: DataFrame,
+      tag: String = ""): DataFrame = {
     val path = s"$stageRoot/$name"
     df.write.mode("overwrite").parquet(path)
-    stagedThisJvm.add(name)
+    stagedThisJvm.put(name, tag)
     spark.read.parquet(path)
   }
 
-  /** Stage names written by THIS JVM. Cross-query reuse (er_f1 reading
-    * er_clusters' staged output) must only trust same-JVM stages: the
-    * stage dir persists across runs, so a stale file from a previous
-    * build would otherwise be evaluated — and oracle-validated — silently. */
+  /** Stage names written by THIS JVM → the input tag (sf dir for corpus-
+    * derived fixtures, "" for sf-independent generators) they derive from.
+    * Cross-query reuse (er_f1 reading er_clusters' staged output) must
+    * only trust same-JVM stages: the stage dir persists across runs, so a
+    * stale file from a previous build would otherwise be evaluated — and
+    * oracle-validated — silently. */
   private val stagedThisJvm =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** stageAndRead with same-JVM reuse, for fixtures staged by more than
-    * one query (content is seed-deterministic, so whichever query runs
-    * first writes the identical bytes the others read). */
-  private def stageOnce(spark: SparkSession, name: String, df: => DataFrame)
-      : DataFrame = {
+    * one query — reused ONLY when the recorded input `tag` matches, so a
+    * corpus-derived fixture staged from one sf dir is re-staged (not
+    * silently served) when a query asks for it under another dir. */
+  private def stageOnce(spark: SparkSession, name: String,
+      df: => DataFrame, tag: String = ""): DataFrame = {
     val path = s"$stageRoot/$name"
-    if (stagedThisJvm.contains(name) &&
+    if (stagedThisJvm.get(name) == tag &&
         new java.io.File(s"$path/_SUCCESS").exists())
       spark.read.parquet(path)
-    else stageAndRead(spark, name, df)
+    else stageAndRead(spark, name, df, tag)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -195,7 +204,7 @@ object SparkEntry {
           concat_ws(" ", (0 until 9).map(j =>
             concat(lit("holdout"), $"id", lit(s"x$j"))): _*).as("text"))
         spans.unionByName(clean)
-      })
+      }, tag = dir)
       graft.text.Decontaminate.flagged(docs, $"doc_id", $"text",
         eval, $"text", n = 8)
     }),
@@ -209,7 +218,8 @@ object SparkEntry {
       // no PII, so PiiGen plants a closed-form population first); the
       // oracle runs the byte-identical RE2-safe patterns in DuckDB.
       val injected = stageOnce(s, "pii_docs",
-        graft.gen.PiiGen.inject(t(dir, "documents"), $"doc_id", $"text"))
+        graft.gen.PiiGen.inject(t(dir, "documents"), $"doc_id", $"text"),
+        tag = dir)
       graft.text.Pii.redact(injected, $"doc_id", $"text")
     }),
     "doc_stratified_sample" -> ((s, dir) => { implicit val sp = s; import s.implicits._
@@ -266,7 +276,7 @@ object SparkEntry {
       val inc = stageOnce(s, "inc_docs",
         docs.where(pmod($"doc_id", lit(7)) === 2)
           .select(($"doc_id" + 1000000L).as("doc_id"),
-            concat($"text", lit(" freshcrawl")).as("text")))
+            concat($"text", lit(" freshcrawl")).as("text")), tag = dir)
       val index = Dedup.minhashBandIndex(docs, $"doc_id", $"text",
         bands = 8, rowsPerBand = 4)
       Dedup.incrementalMinhashPairs(inc, $"doc_id", $"text", index,
@@ -308,7 +318,7 @@ object SparkEntry {
           .where($"rn" > 12)
           .select((($"rn" - lit(13)) / lit(3)).cast(LongType).as("query_id"),
             $"term")
-      })
+      }, tag = dir)
       graft.text.Bm25.topK(docs, $"doc_id", $"text", queries, k = 10)
     }),
     "events_asof" -> ((s, dir) => { implicit val sp = s; import s.implicits._
@@ -359,7 +369,7 @@ object SparkEntry {
       stageOnce(s, "kmeans_centroids",
         cents.zipWithIndex.toSeq
           .map { case (c, i) => (i.toLong, c.toSeq) }
-          .toDF("list_id", "centroid"))
+          .toDF("list_id", "centroid"), tag = dir)
       Ann.kmeansAssign(emb, cents)
     }),
     "emb_neardup_lsh" -> ((s, dir) => { implicit val sp = s; import s.implicits._
@@ -419,7 +429,7 @@ object SparkEntry {
       // previous build could encode different pipeline semantics.
       val clPath = s"$stageRoot/er_clusters_out"
       val cl =
-        if (stagedThisJvm.contains("er_clusters_out") &&
+        if (stagedThisJvm.containsKey("er_clusters_out") &&
             new java.io.File(s"$clPath/_SUCCESS").exists())
           s.read.parquet(clPath)
         else {

@@ -94,28 +94,45 @@ object Blocking {
     * (block_key, n_total, n_dropped) for every truncated block.
     *
     * Skew-aware plan: a naive per-block row_number would shuffle + sort
-    * the ENTIRE input, even though capping only ever bites the (few, by
-    * construction) hot blocks. Instead the hot key set is found with one
-    * slim aggregation (map-side partials collapse to distinct keys per
-    * partition), then BROADCAST: cold rows — the overwhelming majority —
-    * pass through a broadcast anti-join untouched, and only hot-block
-    * rows pay the window sort. The input at large never exchanges. */
-  def capBlocks(df: DataFrame, keyCol: String, orderCol: String, cap: Int)
-      : (DataFrame, DataFrame) = {
+    * the ENTIRE input, even though capping only ever bites the hot
+    * blocks. The hot key set is found with one slim aggregation
+    * (map-side partials collapse to distinct keys per partition) and
+    * COUNTED eagerly (one cheap job), then:
+    *  - 0 hot keys (the common case): the input passes through untouched;
+    *  - ≤ `maxHotKeysBroadcast`: BROADCAST — cold rows pass through a
+    *    broadcast anti-join untouched, only hot-block rows pay the window
+    *    sort, and the input at large never exchanges;
+    *  - more (a boilerplate-heavy corpus where over-cap keys are
+    *    data-dependent, not few): forcing the broadcast would collect an
+    *    unbounded key set to the driver and OOM, so fall back to the
+    *    window-over-everything plan — slower (one full shuffle + sort)
+    *    but bounded. */
+  def capBlocks(df: DataFrame, keyCol: String, orderCol: String, cap: Int,
+      maxHotKeysBroadcast: Int = 1000000): (DataFrame, DataFrame) = {
     val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_total"))
       .where(col("n_total") > cap)
-    // null-SAFE joins (<=>): groupBy treats null keys as one group, so a
-    // hot null block must route to the window branch too — a plain
-    // equi-join would silently pass it through uncapped while the drops
-    // table claimed otherwise
-    val hotKeys = broadcast(sizes.select(col(keyCol).as("_hk")))
-    val cold = df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_anti")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    val hotCapped = df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_semi")
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= cap).drop("_rn")
-    val kept = cold.unionByName(hotCapped)
     val drops = sizes.withColumn("n_dropped", col("n_total") - cap)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    // limit(max+1).count(): decides the branch without counting past the
+    // threshold; re-running the slim agg in the kept branch is cheaper
+    // than persisting it from library code
+    val nHot = sizes.limit(maxHotKeysBroadcast + 1).count()
+    val kept =
+      if (nHot == 0L) df
+      else if (nHot <= maxHotKeysBroadcast) {
+        // null-SAFE joins (<=>): groupBy treats null keys as one group,
+        // so a hot null block must route to the window branch too — a
+        // plain equi-join would silently pass it through uncapped while
+        // the drops table claimed otherwise
+        val hotKeys = broadcast(sizes.select(col(keyCol).as("_hk")))
+        val cold = df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_anti")
+        val hotCapped =
+          df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_semi")
+            .withColumn("_rn", row_number().over(w))
+            .where(col("_rn") <= cap).drop("_rn")
+        cold.unionByName(hotCapped)
+      } else df.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= cap).drop("_rn")
     (kept, drops)
   }
 

@@ -155,14 +155,32 @@ object Snapshots {
   }
 
   /** Bucketed resume: re-attach the committed bucket layout (schema read
-    * from the parquet footers), else compute + commitBucketed. */
+    * from the parquet footers), else compute + commitBucketed.
+    *
+    * On resume the bucket spec recorded in the MANIFEST wins, not the
+    * caller's arguments: bucket ids ride the file names, so registering
+    * a different nBuckets over existing files makes Spark's bucketed scan
+    * silently drop every file whose bucket id >= nBuckets (and co-located
+    * joins lose matches). A stage committed by plain `commit` (no bucket
+    * spec in its manifest) resumes as a plain parquet read — claiming a
+    * bucket layout over un-bucketed files fails with "Invalid bucket
+    * file". */
   def getOrComputeBucketed(spark: SparkSession, root: String, stage: String,
       bucketCols: Seq[String], nBuckets: Int)(compute: => DataFrame)
       : DataFrame =
-    if (isComplete(root, stage))
-      registerBucketed(spark, root, stage,
-        spark.read.parquet(s"$root/$stage").schema, bucketCols, nBuckets)
-    else commitBucketed(spark, compute, root, stage, bucketCols, nBuckets)
+    if (isComplete(root, stage)) {
+      val recorded = for {
+        n <- manifestField(root, stage, "buckets").map(_.toInt)
+        cols <- manifestField(root, stage, "bucket_cols")
+          .map(_.split(",").toSeq)
+      } yield (cols, n)
+      recorded match {
+        case Some((cols, n)) =>
+          registerBucketed(spark, root, stage,
+            spark.read.parquet(s"$root/$stage").schema, cols, n)
+        case None => spark.read.parquet(s"$root/$stage")
+      }
+    } else commitBucketed(spark, compute, root, stage, bucketCols, nBuckets)
 
   /** Per-partition lineage rows for a stage output: one row per Spark
     * partition with row counts — appended to <root>/_lineage. */

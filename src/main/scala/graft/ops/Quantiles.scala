@@ -29,7 +29,13 @@ import org.apache.spark.sql.functions._
  */
 object Quantiles {
 
-  /** Exact discrete quantiles: one row per (group, p). */
+  /** Exact discrete quantiles: one row per (group, p).
+    *
+    * The per-row "is this rank a target?" test runs as a higher-order
+    * array filter BEFORE any explode, so the |rows|×|ps| intermediate
+    * never materializes — only the ~|groups|×|ps| selected rows explode
+    * (with 5 quantiles over 10^9 rows, that is the difference between
+    * 5×10^9 exploded rows feeding the filter and 5×|groups|). */
   def exactDisc(df: DataFrame, group: Column, value: Column,
       ps: Seq[Double]): DataFrame = {
     val part = Window.partitionBy(col("g"))
@@ -37,10 +43,10 @@ object Quantiles {
       .withColumn("rank", row_number().over(part.orderBy(col("v").asc)))
       .withColumn("n", count(lit(1)).over(part))
     ranked
-      .select(col("g"), col("v"), col("rank"), col("n"),
-        explode(array(ps.map(lit): _*)).as("p"))
-      .where(col("rank") === floor((col("n") - 1) * col("p")) + 1)
-      .select(col("g"), col("p"), col("v").as("q"))
+      .withColumn("hit_ps", filter(array(ps.map(lit): _*),
+        p => col("rank") === floor((col("n") - 1) * p) + 1))
+      .where(size(col("hit_ps")) > 0)
+      .select(col("g"), explode(col("hit_ps")).as("p"), col("v").as("q"))
   }
 
   /** Sketch-based quantiles with the same output shape. */

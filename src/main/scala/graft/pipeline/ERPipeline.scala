@@ -277,10 +277,14 @@ object ERPipeline {
     * sweep — nothing here touches payloads. */
   def sweepScores(extracted: DataFrame, scored: DataFrame,
       labeledPairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    // LEFT joins, like evaluate(): a labeled pair whose url is absent
+    // from the corpus must count as a non-match at every threshold (null
+    // id never equi-joins a scored candidate → score coalesces to 0.0),
+    // not silently vanish from the log inflating recall.
     val ids = extracted.select(col("url"), col("id"))
     val lp = labeledPairs
-      .join(ids.toDF("left_url", "l_id0"), Seq("left_url"))
-      .join(ids.toDF("right_url", "r_id0"), Seq("right_url"))
+      .join(ids.toDF("left_url", "l_id0"), Seq("left_url"), "left")
+      .join(ids.toDF("right_url", "r_id0"), Seq("right_url"), "left")
       .select(col("label"),
         least(col("l_id0"), col("r_id0")).as("l_id"),
         greatest(col("l_id0"), col("r_id0")).as("r_id"))

@@ -123,10 +123,25 @@ object Streaming {
 
     // Static side joins slim AND block-capped (see capCorpusBlocks): a
     // degenerate hot block key must not fan every streamed page out to an
-    // unbounded corpus slice at ingest latency.
+    // unbounded corpus slice at ingest latency. The cap drops corpus rows
+    // — and with them potential matches — so the drop count is surfaced
+    // eagerly (one static-side job at plan build, not per micro-batch);
+    // callers who need the per-block stats table should capCorpusBlocks
+    // themselves and pass assumeCapped=true (StreamingIngestApp does,
+    // sinking the stats next to the batch pipeline's cap_drops).
     val corpusSlim = (
       if (assumeCapped) corpusBlocked.select(col("block_key"), col("id"))
-      else capCorpusBlocks(corpusBlocked, cfg.pairCapPerBlock)._1)
+      else {
+        val (capped, drops) = capCorpusBlocks(corpusBlocked, cfg.pairCapPerBlock)
+        val nDropped = drops.agg(coalesce(sum(col("n_dropped")), lit(0L)))
+          .collect()(0).getLong(0)
+        if (nDropped > 0L) System.err.println(
+          s"[graft.streaming] streamingMatches: corpus block cap " +
+            s"(${cfg.pairCapPerBlock}) dropped $nDropped corpus rows from " +
+            s"hot blocks; matches against dropped rows will not surface. " +
+            s"Use capCorpusBlocks + assumeCapped=true to audit per-block.")
+        capped
+      })
       .withColumnRenamed("id", "r_id")
     val pairs = streamBlocked.join(corpusSlim, Seq("block_key"))
       .where(col("l_id") =!= col("r_id"))

@@ -45,6 +45,20 @@ class BlockingSpec extends SparkSuite {
     assert(d.toSeq === Seq((None, 300L, 250L)))
   }
 
+  test("capBlocks over the broadcast bound falls back to the window plan, same rows") {
+    val df = blocked()
+    val (kept, drops) =
+      Blocking.capBlocks(df, "block_key", "id", cap = 100,
+        maxHotKeysBroadcast = 0) // force: 1 hot key > bound
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    val (keptB, dropsB) = Blocking.capBlocks(df, "block_key", "id", cap = 100)
+    assert(kept.exceptAll(keptB).count() === 0L)
+    assert(keptB.exceptAll(kept).count() === 0L)
+    assert(drops.as[(String, Long, Long)].collect().toSeq ===
+      dropsB.as[(String, Long, Long)].collect().toSeq)
+  }
+
   test("capBlocks with no oversized block is a row-preserving no-op") {
     val df = (0 until 100).map(i => (s"k${i % 20}", i.toLong)).toDF("block_key", "id")
     val (kept, drops) = Blocking.capBlocks(df, "block_key", "id", cap = 50)

@@ -109,4 +109,27 @@ class BucketedSnapshotSpec extends SparkSuite {
       assert(joined.count() === 100)
     }
   }
+
+  test("bucketed resume honors the manifest's bucket spec, not the caller's") {
+    val root = Files.createTempDirectory("bucketed3").toString
+    val data = spark.range(0, 400).select($"id", ($"id" % 5).as("v"))
+    Snapshots.commitBucketed(spark, data, root, "c3", Seq("id"), nBuckets = 8)
+    spark.sql("DROP TABLE graft_c3") // fresh-session simulation
+
+    // resume asks for 4 buckets; files carry ids 0..7 — registering 4
+    // would silently drop every file with bucket id >= 4
+    val resumed = Snapshots.getOrComputeBucketed(spark, root, "c3",
+      Seq("id"), nBuckets = 4)(fail("must resume, not recompute"))
+    assert(resumed.count() === 400)
+    assert(Snapshots.manifestField(root, "c3", "buckets") === Some("8"))
+  }
+
+  test("a plain-committed stage resumes as a plain read, not a bucket claim") {
+    val root = Files.createTempDirectory("bucketed4").toString
+    val data = spark.range(0, 300).select($"id", ($"id" * 3).as("v"))
+    Snapshots.commit(spark, data, root, "p4") // no bucket spec in manifest
+    val resumed = Snapshots.getOrComputeBucketed(spark, root, "p4",
+      Seq("id"), nBuckets = 8)(fail("must resume, not recompute"))
+    assert(resumed.count() === 300) // would throw "Invalid bucket file" before
+  }
 }

@@ -49,6 +49,20 @@ class ERPipelineSpec extends SparkSuite {
     // where no negative is ever a candidate and every row looks perfect)
     assert(sweep(0.05).getAs[Long]("fp") > 0L)
     assert(sweep(0.05).getAs[Double]("f1") < 1.0)
+
+    // a labeled pair whose url never entered the corpus must count as a
+    // non-match at every threshold (like evaluate), not vanish from the
+    // log — gold positives with a missing side surface as FNs
+    val ghost = labels.limit(1)
+      .withColumn("left_url", lit("https://ghost.example/404"))
+      .withColumn("label", lit(1))
+    val sweep2 = ERPipeline.sweepScores(ex, scored,
+        labels.unionByName(ghost), grid)
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    sweep2.values.foreach(r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") === positives + 1))
+    assert(sweep2(cfg.scoreThreshold).getAs[Long]("fn") ===
+      sweep(cfg.scoreThreshold).getAs[Long]("fn") + 1)
   }
 
   test("clusters are deterministic across input partitioning") {
