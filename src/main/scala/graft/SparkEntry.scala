@@ -231,6 +231,36 @@ object SparkEntry {
         $"lang", $"doc_id", Seq("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
         .select($"doc_id", $"lang", $"source")
     }),
+    "doc_mixture_sample" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // training-data domain MIXING: per-domain keep rates derived from
+      // target mixture weights + a total cost budget (min(1, B·w/S_d)),
+      // membership by the same consistent-hash unit as
+      // doc_stratified_sample. Unlisted domains get share 0 (mixture
+      // semantics). One partial-agg groupBy + broadcast + narrow filter;
+      // the corpus never shuffles.
+      graft.ops.Mixture.tokenBudgetSample(t(dir, "documents"),
+        $"source", $"doc_id", $"n_chars",
+        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 20000L)
+        .select($"doc_id", $"source", $"n_chars")
+    }),
+    "doc_pack_sequences" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // LLM pre-training sequence packing: concatenate docs per
+      // deterministic shard, chop at fixed 2048-unit boundaries, emit the
+      // (sequence, doc, sub-span) assembly plan. Integer-only arithmetic:
+      // bit-identical at any parallelism and cross-engine.
+      graft.ops.Packing.packSequences(t(dir, "documents"),
+          $"doc_id", $"n_chars", seqLen = 2048, nShards = 8)
+        .withColumnRenamed("k", "doc_id")
+    }),
+    "web_pagerank" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // crawl-prioritization PageRank over a staged host link graph —
+      // power iteration as iterative DataFrame joins in BIGINT fixed
+      // point (1e-12 units): integer DIV + exact sums mean the oracle's
+      // unrolled 10-round recurrence matches bit-for-bit, no float grid.
+      val links = stageOnce(s, "link_graph", graft.gen.LinkGen.links(s))
+      graft.graph.PageRank.run(s, links, iters = 10)
+        .withColumnRenamed("id", "host_id")
+    }),
     "url_canonicalize" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // crawl-corpus URL canonicalization over a staged messy-URL fixture
       // (UrlGen: scheme/host case, www, default ports, dup slashes,
@@ -838,6 +868,76 @@ object SparkEntry {
         |        AS BIGINT) / 1152921504606846976.0
         |  < CASE WHEN lang = 'en' THEN 0.5
         |         WHEN lang = 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
+    // same hash-unit primitive; rate = least(1, B*w/S_d) evaluated with
+    // the identical IEEE-754 association as Mixture.tokenBudgetSample.
+    // Unlisted sources are dropped BEFORE least() — both engines' least/
+    // greatest ignore NULLs, so least(1.0, NULL-weight) would otherwise
+    // keep an unlisted domain whole (caught by MixtureSpec).
+    "doc_mixture_sample" ->
+      """WITH tot AS (SELECT source, sum(n_chars) AS s FROM documents
+        |            GROUP BY source),
+        |r AS (SELECT source,
+        |    least(CAST(1 AS DOUBLE), CAST(20000 AS DOUBLE) * w
+        |      / CAST(s AS DOUBLE)) AS rate
+        |  FROM (SELECT source, s,
+        |      CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                  WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |                  WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS w
+        |    FROM tot) t
+        |  WHERE w IS NOT NULL)
+        |SELECT doc_id, source, n_chars FROM documents JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) / 1152921504606846976.0 < rate""".stripMargin,
+    // integer-only packing recurrence: window cumsum + generate_series
+    // span explode; every intermediate is BIGINT, so the layout is exact.
+    "doc_pack_sequences" ->
+      """WITH b AS (SELECT doc_id, n_chars AS n,
+        |    CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) / 1152921504606846976.0 * CAST(8 AS DOUBLE))
+        |      AS INT) AS shard
+        |  FROM documents WHERE n_chars > 0),
+        |o AS (SELECT shard, doc_id, n,
+        |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+        |      AS off_end
+        |  FROM b),
+        |o2 AS (SELECT shard, doc_id, n, off_end, off_end - n AS off_begin
+        |  FROM o),
+        |x AS (SELECT shard, doc_id, n, off_begin,
+        |    unnest(generate_series(off_begin // 2048, (off_end - 1) // 2048))
+        |      AS seq_idx
+        |  FROM o2)
+        |SELECT shard, shard * 1099511627776 + seq_idx AS seq_id, doc_id,
+        |  greatest(CAST(0 AS BIGINT), seq_idx * 2048 - off_begin) AS tok_begin,
+        |  least(n, (seq_idx + 1) * 2048 - off_begin) AS tok_end
+        |FROM x""".stripMargin,
+    // the fixed-point PageRank recurrence unrolled: r0 = UNIT//n,
+    // each round r_i = (15*UNIT//100)//n + sum((85*r)//(100*odeg)) over
+    // in-edges — BIGINT DIV + exact sums, so this is bit-identical to the
+    // Spark iteration, not merely close.
+    "web_pagerank" -> {
+      val iters = 10
+      val head =
+        s"""WITH e AS (SELECT DISTINCT src, dst FROM ${stagePath("link_graph")}
+           |  WHERE src <> dst),
+           |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+           |nodes AS (SELECT DISTINCT id
+           |  FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT id, 1000000000000 // n AS r FROM nodes, nn)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""s$i AS (SELECT e.dst AS id,
+           |    sum((85 * r.r) // (100 * deg.odeg)) AS recv
+           |  FROM e JOIN r${i - 1} r ON e.src = r.id
+           |  JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT nodes.id,
+           |    CAST((150000000000 // (SELECT n FROM nn))
+           |      + COALESCE(s$i.recv, 0) AS BIGINT) AS r
+           |  FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id)""".stripMargin
+      }
+      (head +: steps).mkString(",\n") +
+        s"\nSELECT id AS host_id, r AS rank_fp FROM r$iters"
+    },
     // FNV-1a-64 per token (UBIGINT xor + HUGEINT modular multiply), then
     // per-bit majority votes — replicates Dedup.simhashUdf exactly
     // (validated 0 mismatches over the sf0.01 corpus before landing).

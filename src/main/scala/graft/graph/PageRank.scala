@@ -1,0 +1,84 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Host-graph PageRank for crawl prioritization — power iteration as
+ * iterative DataFrame joins (the same discipline as
+ * [[graft.cluster.ConnectedComponents]]: no GraphX, lineage cut per
+ * round, O(1) plan size).
+ *
+ * All arithmetic is FIXED-POINT (BIGINT units of 1e-12): rank starts at
+ * `UNIT DIV n`, each round every node sends `(85 * r) DIV (100 * outdeg)`
+ * to each out-neighbor and the new rank is
+ * `(15 * UNIT DIV 100) DIV n + sum(received)`. Integer division truncates
+ * identically in every engine, and BIGINT sums are exact — so ranks are
+ * bit-identical across parallelism levels AND across engines (the DuckDB
+ * oracle twin unrolls the same recurrence), with zero float anywhere.
+ * The truncation bleeds ≤ 1 unit (1e-12) of mass per (edge, round) —
+ * at web scale that is the same modeling error as float rounding, but
+ * deterministic.
+ *
+ * Scale shape per round: join ranks→edges on src (both sides
+ * hash-partitioned on the join key; edges are repartitioned+persisted
+ * ONCE so only the small rank table moves) + one partial-aggregated
+ * `groupBy(dst)`. Ranks are one row per node — always the slim side.
+ * Dangling nodes (outdeg 0) keep receiving the teleport share but their
+ * retained mass is dropped, the common "remove dangling mass" PageRank
+ * variant; callers that need mass conservation add sink self-loops.
+ */
+object PageRank {
+
+  val UNIT: Long = 1000000000000L // 1e-12 fixed-point
+
+  /** @param edges (src, dst) directed link table, any numeric id type.
+    * @param iters fixed power-iteration round count (deterministic output
+    *              shape beats a float-epsilon stopping rule for an exact
+    *              cross-engine contract; 10 rounds ≈ damping^10 < 0.2 of
+    *              the residual, plenty for crawl ordering).
+    * @param persist per-round state materializer — MUST be eager, same
+    *              contract as ConnectedComponents.run.
+    * @return (id LONG, rank_fp LONG) — rank in 1e-12 units. */
+  def run(spark: SparkSession, edges: DataFrame, iters: Int = 10,
+      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst")
+      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .where($"src" =!= $"dst")
+      .distinct()
+    // Edges (with their outdegree denominator, loop-invariant) are the
+    // big side: join the denominator in and partition by the join key
+    // ONCE, persist — every round's join then shuffles only the per-node
+    // rank table into this fixed layout.
+    val outdeg = e0.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    val e = persist(e0.join(outdeg, "src").repartition(col("src")))
+    val nodes = persist(
+      e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct())
+    // n is the one driver-side scalar (same pattern as IVF's Lloyd loop);
+    // every derived constant is integer arithmetic on it.
+    val n = nodes.count()
+    require(n > 0, "PageRank needs at least one edge")
+    val teleport = (15L * UNIT / 100L) / n
+    var rank = persist(nodes.select($"id", lit(UNIT / n).as("r")))
+    var i = 0
+    while (i < iters) {
+      // integer DIV, not `/`: Spark's `/` on longs is IEEE double division
+      // and a correctly-rounded double quotient can truncate to a
+      // different integer than exact integer division near boundaries.
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .select($"dst".as("id"),
+          expr("(85 * r) DIV (100 * odeg)").as("c"))
+        .groupBy($"id").agg(sum($"c").as("recv"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select($"id",
+          (lit(teleport) + coalesce($"recv", lit(0L))).as("r"))
+      val prev = rank
+      rank = persist(next)
+      prev.unpersist(false)
+      i += 1
+    }
+    rank.select($"id", $"r".as("rank_fp"))
+  }
+}

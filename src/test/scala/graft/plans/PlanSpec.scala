@@ -178,4 +178,43 @@ class PlanSpec extends SparkSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("mixture sampling broadcasts rates; the corpus itself never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = graft.ops.Mixture.tokenBudgetSample(docs, $"source",
+        $"doc_id", $"n_chars", Seq("src0" -> 0.5, "src1" -> 0.5), 10000L)
+      val plan = out.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"rates must broadcast:\n$plan")
+      // the only shuffle is the #domains-row totals aggregation — and it
+      // must be partial-aggregated (map-side combine) below the exchange
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 1, s"expected 1 shuffle (rates agg):\n$plan")
+      assert(shuffles.head.toString.contains("partial_sum"),
+        s"totals agg not map-side combined:\n${shuffles.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sequence packing is one shuffle (the per-shard sort window)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = graft.ops.Packing.packSequences(docs, $"doc_id", $"n_chars",
+        seqLen = 512, nShards = 8)
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 1,
+        s"expected exactly the window's hash exchange:\n$plan")
+      assert(shuffles.head.outputPartitioning.toString.contains("shard"),
+        s"window must partition by shard:\n${shuffles.head}")
+      // span chop is a narrow Generate over the sorted run — no 2nd pass
+      assert(plan.toString.contains("Generate"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
