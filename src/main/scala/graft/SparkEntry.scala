@@ -261,6 +261,30 @@ object SparkEntry {
       graft.graph.PageRank.run(s, links, iters = 10)
         .withColumnRenamed("id", "host_id")
     }),
+    "doc_host_cap" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // crawl-budget capping: at most k docs per host (source), preferring
+      // larger docs, ties broken on doc_id (total order -> deterministic
+      // kept set). Skew-aware: only over-budget hosts pay the window sort.
+      graft.ops.TopK.perKey(
+        t(dir, "documents").select($"doc_id", $"source", $"n_chars"),
+        $"source", Seq($"n_chars".desc, $"doc_id".asc), k = 12)
+    }),
+    "crawl_snapshot_diff" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // crawl-to-crawl delta: deleted (id%13==0 gone), changed (id%7==3
+      // re-extracted), added (remapped ids) — full-outer join on id over
+      // (id, md5 fingerprint) slim rows; the texts never shuffle.
+      val docs = t(dir, "documents")
+      val recrawl = stageOnce(s, "recrawl_docs", {
+        val added = docs.where(pmod($"doc_id", lit(11)) === 1)
+          .select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+        docs.where(pmod($"doc_id", lit(13)) =!= 0)
+          .select($"doc_id", when(pmod($"doc_id", lit(7)) === 3,
+              concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+          .unionByName(added)
+      }, tag = dir)
+      graft.ops.TableDiff.diffByKey(docs, recrawl, $"doc_id", md5($"text"))
+        .withColumnRenamed("key", "doc_id")
+    }),
     "url_canonicalize" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // crawl-corpus URL canonicalization over a staged messy-URL fixture
       // (UrlGen: scheme/host case, www, default ports, dup slashes,
@@ -910,6 +934,25 @@ object SparkEntry {
         |  greatest(CAST(0 AS BIGINT), seq_idx * 2048 - off_begin) AS tok_begin,
         |  least(n, (seq_idx + 1) * 2048 - off_begin) AS tok_end
         |FROM x""".stripMargin,
+    "doc_host_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 12""".stripMargin,
+    // both engines md5 the UTF-8 text bytes to lowercase hex; the join
+    // compares fingerprints, never texts
+    "crawl_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(text) AS f FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS f
+        |  FROM ${stagePath("recrawl_docs")}),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'deleted'
+        |         WHEN o.f = n.f THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
     // the fixed-point PageRank recurrence unrolled: r0 = UNIT//n,
     // each round r_i = (15*UNIT//100)//n + sum((85*r)//(100*odeg)) over
     // in-edges — BIGINT DIV + exact sums, so this is bit-identical to the

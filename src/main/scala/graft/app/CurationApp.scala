@@ -20,6 +20,8 @@ import graft.text.{Decontaminate, Pii, Repetition}
  *   neardup_kept near-dup keepers (MinHash-LSH pairs → CC → one per cluster)
  *   decon_kept   train/eval n-gram decontamination (drop flagged docs)
  *   sample       consistent-hash stratified sample (the training cut)
+ *   packed       sequence-packing assembly plan (doc sub-span → fixed-
+ *                length training sequence; an expansion stage)
  *   stats        one row per stage: rows in/out/dropped
  *
  * Each stage is a named parquet snapshot + manifest under
@@ -46,7 +48,9 @@ object CurationApp {
       maxRepScore: Double = 0.5,
       minChars: Long = 20L,
       sampleRates: Seq[(String, Double)] = Seq("en" -> 0.5),
-      sampleDefaultRate: Double = 0.25)
+      sampleDefaultRate: Double = 0.25,
+      packSeqLen: Int = 2048,
+      packShards: Int = 64)
 
   def main(args: Array[String]): Unit = {
     val workRoot = args.headOption.getOrElse("/tmp/graft-curation")
@@ -153,9 +157,21 @@ object CurationApp {
 
     // 6. the training cut — consistent-hash membership (reproducible
     // under retries and across runs; re-sampling a re-run is a no-op)
-    staged("sample", deconKept) { d =>
+    val sampled = staged("sample", deconKept) { d =>
       graft.ops.Sampling.stratifiedSampleByKey(d, col("lang"),
         col("doc_id"), cfg.sampleRates, cfg.sampleDefaultRate)
+    }
+
+    // 7. training layout — the sequence-packing assembly plan (which doc
+    // sub-span lands in which fixed-length training sequence). An
+    // EXPANSION stage: rows_out counts (doc, sequence) assembly rows, so
+    // its stats rows_dropped is negative by design — the audit contract
+    // is rows in/out per stage, not monotone shrinkage. Cost unit is
+    // chars (script-neutral, like the quality floor).
+    staged("packed", sampled) { d =>
+      graft.ops.Packing.packSequences(d, col("doc_id"), length(col("text")),
+          cfg.packSeqLen, cfg.packShards)
+        .withColumnRenamed("k", "doc_id")
     }
 
     val stats = counts.toSeq.toDF("stage", "rows_in", "rows_out")

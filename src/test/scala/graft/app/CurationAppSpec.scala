@@ -44,6 +44,16 @@ class CurationAppSpec extends SparkSuite {
     assert(stats("neardup_kept")._4 >= 1L)         // the near-dup loses
     assert(stats("decon_kept")._4 === 1L)          // the evalgram doc
     assert(stats("sample")._3 > 0L)
+    // packing is an EXPANSION stage: its rows_in is the sampled doc
+    // count, rows_out the assembly rows, and the packed spans must cover
+    // exactly the sampled docs' total chars (no loss through the layout)
+    assert(stats("packed")._2 === stats("sample")._3)
+    val packed = spark.read.parquet(s"$root/packed")
+    val coveredChars = packed.agg(
+      sum(col("tok_end") - col("tok_begin"))).as[Long].head()
+    val sampleChars = spark.read.parquet(s"$root/sample")
+      .agg(sum(length(col("text")))).as[Long].head()
+    assert(coveredChars === sampleChars)
 
     // PII never reaches the output corpus
     val sampled = spark.read.parquet(s"$root/sample")
@@ -66,6 +76,7 @@ class CurationAppSpec extends SparkSuite {
     // crash after neardup_kept: tail stages lost
     Files.delete(Paths.get(root, "_snapshots", "decon_kept.json"))
     Files.delete(Paths.get(root, "_snapshots", "sample.json"))
+    Files.delete(Paths.get(root, "_snapshots", "packed.json"))
     Files.delete(Paths.get(root, "_snapshots", "stats.json"))
 
     // poison: restart with a DIFFERENT input frame; complete stages win
