@@ -949,7 +949,9 @@ object SparkEntry {
         |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |    CASE WHEN o.doc_id IS NULL THEN 'added'
         |         WHEN n.doc_id IS NULL THEN 'deleted'
-        |         WHEN o.f = n.f THEN 'unchanged'
+        |         -- IS NOT DISTINCT FROM mirrors TableDiff's null-safe <=>:
+        |         -- a null fingerprint is a value, not a wildcard
+        |         WHEN o.f IS NOT DISTINCT FROM n.f THEN 'unchanged'
         |         ELSE 'changed' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,

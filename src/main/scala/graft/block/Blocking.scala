@@ -108,33 +108,12 @@ object Blocking {
     *    window-over-everything plan — slower (one full shuffle + sort)
     *    but bounded. */
   def capBlocks(df: DataFrame, keyCol: String, orderCol: String, cap: Int,
-      maxHotKeysBroadcast: Int = 1000000): (DataFrame, DataFrame) = {
-    val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_total"))
-      .where(col("n_total") > cap)
-    val drops = sizes.withColumn("n_dropped", col("n_total") - cap)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    // limit(max+1).count(): decides the branch without counting past the
-    // threshold; re-running the slim agg in the kept branch is cheaper
-    // than persisting it from library code
-    val nHot = sizes.limit(maxHotKeysBroadcast + 1).count()
-    val kept =
-      if (nHot == 0L) df
-      else if (nHot <= maxHotKeysBroadcast) {
-        // null-SAFE joins (<=>): groupBy treats null keys as one group,
-        // so a hot null block must route to the window branch too — a
-        // plain equi-join would silently pass it through uncapped while
-        // the drops table claimed otherwise
-        val hotKeys = broadcast(sizes.select(col(keyCol).as("_hk")))
-        val cold = df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_anti")
-        val hotCapped =
-          df.join(hotKeys, col(keyCol) <=> col("_hk"), "left_semi")
-            .withColumn("_rn", row_number().over(w))
-            .where(col("_rn") <= cap).drop("_rn")
-        cold.unionByName(hotCapped)
-      } else df.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") <= cap).drop("_rn")
-    (kept, drops)
-  }
+      maxHotKeysBroadcast: Int = 1000000): (DataFrame, DataFrame) =
+    // one audited hot/cold implementation — null-safe joins, eager hot
+    // count, broadcast-threshold fallback — shared with the crawl-budget
+    // operator (graft.ops.TopK)
+    graft.ops.TopK.perKeyWithDrops(df, col(keyCol), keyCol,
+      Seq(col(orderCol)), cap, maxHotKeysBroadcast)
 
   /** Exact set fingerprint of a token array (order-insensitive): the
     * cheap key family that guarantees recall for records whose normalized

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
  * duplicate (src, dst) rows may occur (consumers must dedup — real link
  * tables have them too).
  *
- * Every host has outdegree >= 2, so the graph has no dangling nodes and
- * the ids 0..n-1 are exactly the node set.
+ * Every host emits 2-5 raw links whose targets are all != src, so after
+ * dedup every host has outdegree >= 1 — the graph has no dangling nodes
+ * and the ids 0..n-1 are exactly the node set. (>= 2 is NOT guaranteed:
+ * a host's hub and ring targets can collide into one distinct dst.)
  */
 object LinkGen {
 

@@ -74,9 +74,14 @@ object PageRank {
       val next = nodes.join(contrib, Seq("id"), "left")
         .select($"id",
           (lit(teleport) + coalesce($"recv", lit(0L))).as("r"))
-      val prev = rank
+      // No explicit unpersist of the previous round: Dataset.unpersist
+      // only releases CacheManager entries, not localCheckpoint blocks —
+      // those are freed by the ContextCleaner once the superseded round's
+      // RDD becomes unreachable (which reassigning `rank` makes true).
+      // Rank tables are one slim row per node, so the transient overlap
+      // is bounded. Callers needing deterministic release pass a
+      // `persist` that manages its own storage (e.g. Snapshots.commit).
       rank = persist(next)
-      prev.unpersist(false)
       i += 1
     }
     rank.select($"id", $"r".as("rank_fp"))

@@ -34,6 +34,22 @@ class TopKSpec extends SparkSuite {
     assert(out("h9") === 5L) // had 11, capped
   }
 
+  test("a hot NULL key is capped, not silently passed through") {
+    // crawl rows with no parsed host: groupBy counts null as one group;
+    // the join must be null-safe or every null-key row leaks uncapped
+    val withNulls = corpus.union(
+      (5000L until 5040L).map(i => (i, null.asInstanceOf[String], i % 7))
+        .toDF("id", "host", "score"))
+    val out = TopK.perKey(withNulls, $"host", Seq($"score".desc, $"id".asc), 5)
+    assert(out.where($"host".isNull).count() === 5L)
+    // and the drops table reports the truncation (never silent)
+    val (_, drops) = TopK.perKeyWithDrops(withNulls, $"host", "host",
+      Seq($"score".desc, $"id".asc), 5)
+    val nullRow = drops.where($"host".isNull)
+      .select("n_total", "n_dropped").as[(Long, Long)].collect()
+    assert(nullRow.toSeq === Seq((40L, 35L)))
+  }
+
   test("deterministic across input partitioning") {
     val a = TopK.perKey(corpus, $"host", Seq($"score".desc, $"id".asc), 4)
       .select("id").as[Long].collect().sorted.toSeq
