@@ -126,6 +126,79 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("P: packSequences tiles every doc exactly on random corpora") {
+    import org.apache.spark.sql.functions._
+    // random ids (sparse, unordered; UNIQUE — packing's documented key
+    // contract; chooseNum is edge-biased so plain distinct leaves dup ids)
+    // × random token counts incl. zeros/negatives
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 1000000L),
+      Gen.chooseNum(-3L, 700L)), 400, seed = 7L).distinctBy(_._1)
+    val docs = rows.toDF("doc_id", "n")
+    for ((seqLen, shards) <- Seq((64, 1), (128, 5), (1000, 16))) {
+      val packed = graft.ops.Packing.packSequences(
+        docs, $"doc_id", $"n", seqLen, shards)
+      // per-doc coverage == n for every doc with n > 0; spans in-bounds
+      val per = packed.groupBy($"k").agg(
+        min($"tok_begin").as("mn"), max($"tok_end").as("mx"),
+        sum($"tok_end" - $"tok_begin").as("cov"),
+        min($"tok_end" - $"tok_begin").as("minspan"))
+        .join(docs.withColumnRenamed("doc_id", "k"), "k")
+      val bad = per.where($"mn" =!= 0L || $"mx" =!= $"n" ||
+        $"cov" =!= $"n" || $"minspan" <= 0L).collect()
+      assert(bad.isEmpty, s"seqLen=$seqLen shards=$shards: ${bad.take(3).mkString(";")}")
+      assert(per.count() === rows.count(_._2 > 0).toLong)
+      // every non-final sequence per shard is exactly full
+      val lastSeq = packed.groupBy($"shard").agg(max($"seq_id").as("last"))
+      val unfull = packed.groupBy($"shard", $"seq_id")
+        .agg(sum($"tok_end" - $"tok_begin").as("filled"))
+        .join(lastSeq, "shard")
+        .where($"seq_id" =!= $"last" && $"filled" =!= seqLen.toLong).collect()
+      assert(unfull.isEmpty, s"seqLen=$seqLen shards=$shards: ${unfull.take(3).mkString(";")}")
+    }
+  }
+
+  test("P: fixed-point PageRank matches the driver reference on random digraphs") {
+    // random graphs WITH dangling nodes, sinks, and disconnected parts —
+    // much nastier than the LinkGen fixture
+    val edges = sample(Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)),
+      150, seed = 8L).filter { case (s, d) => s != d }.distinct
+    val df = edges.toDF("src", "dst")
+    val got = graft.graph.PageRank.run(spark, df, iters = 7)
+      .as[(Long, Long)].collect().toMap
+    // driver-side reference: identical integer recurrence, plain Scala
+    val odeg = edges.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val tp = (15L * graft.graph.PageRank.UNIT / 100L) / n
+    var r = nodes.map(_ -> graft.graph.PageRank.UNIT / n).toMap
+    for (_ <- 1 to 7) {
+      val recv = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) recv(d) += (85L * r(s)) / (100L * odeg(s))
+      r = nodes.map(id => id -> (tp + recv(id))).toMap
+    }
+    assert(got === r)
+  }
+
+  test("P: TopK.perKey == naive window on random skewed data with null keys") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val keyGen = Gen.frequency(
+      5 -> Gen.const("mega"),                    // the hot host
+      3 -> Gen.oneOf("a", "b", "c", "d"),
+      1 -> Gen.const(null.asInstanceOf[String])) // unparsed host
+    val rows = sample(Gen.zip(keyGen, Gen.chooseNum(0L, 50L)), 500, seed = 9L)
+      .zipWithIndex.map { case ((k, s), i) => (i.toLong, k, s) }
+    val df = rows.toDF("id", "host", "score")
+    for (k <- Seq(1, 7, 40)) {
+      val got = graft.ops.TopK.perKey(df, $"host",
+        Seq($"score".desc, $"id".asc), k).select("id").as[Long].collect().sorted
+      val want = df.withColumn("rn", row_number().over(
+          Window.partitionBy($"host").orderBy($"score".desc, $"id".asc)))
+        .where($"rn" <= k).select("id").as[Long].collect().sorted
+      assert(got.toSeq === want.toSeq, s"k=$k")
+    }
+  }
+
   test("P: EmbGen fixture is deterministic at any parallelism") {
     val a = graft.gen.EmbGen.embeddings(spark)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
