@@ -261,6 +261,14 @@ object SparkEntry {
       graft.graph.PageRank.run(s, links, iters = 10)
         .withColumnRenamed("id", "host_id")
     }),
+    "doc_lm_quality" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // CCNet-style distributional quality: mean bigram log-prob under a
+      // corpus-trained add-k LM. Two word-count aggs + slim joins; docs
+      // never reshuffle. <2-token docs: n_bigrams=0, null score.
+      graft.text.LmQuality.bigramScores(t(dir, "documents"),
+          $"doc_id", $"text")
+        .withColumnRenamed("lm_id", "doc_id")
+    }),
     "doc_host_cap" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // crawl-budget capping: at most k docs per host (source), preferring
       // larger docs, ties broken on doc_id (total order -> deterministic
@@ -934,6 +942,30 @@ object SparkEntry {
         |  greatest(CAST(0 AS BIGINT), seq_idx * 2048 - off_begin) AS tok_begin,
         |  least(n, (seq_idx + 1) * 2048 - off_begin) AS tok_end
         |FROM x""".stripMargin,
+    // full LM re-derivation: same tokenizer twin as doc_tokens/bm25, same
+    // add-k arithmetic association, ln snapped to the 9-dec grid and
+    // summed as DECIMAL (the Bm25-validated pattern for ln/div chains)
+    "doc_lm_quality" ->
+      """WITH consts AS (SELECT CAST(0.5 AS DOUBLE) AS ck),
+        |d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS toks FROM documents),
+        |bgs AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in generate_series(1, len(toks) - 1)]) AS bg FROM d),
+        |uni AS (SELECT t, count(*) AS cu
+        |  FROM (SELECT unnest(toks) AS t FROM d) GROUP BY t),
+        |big AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY bg),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |sc AS (SELECT bgs.doc_id,
+        |    CAST(round(ln((CAST(cb AS DOUBLE) + ck)
+        |      / (CAST(cu AS DOUBLE) + ck * v)), 9) AS DECIMAL(28,9)) AS lp
+        |  FROM bgs JOIN big USING (bg)
+        |  JOIN uni ON split_part(bgs.bg, ' ', 1) = uni.t, vv, consts),
+        |agg AS (SELECT doc_id, sum(lp) AS s2, count(*) AS nb
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+        |  round(CAST(s2 AS DOUBLE) / nb, 6) AS avg_ll
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "doc_host_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars, row_number() OVER (
