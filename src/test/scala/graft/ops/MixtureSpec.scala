@@ -13,8 +13,9 @@ class MixtureSpec extends SparkSuite {
 
   test("unlisted domains are excluded; per-domain mass tracks budget*weight") {
     val budget = 30000L
+    // no .cache(): the shared-session CacheManager must stay empty
     val out = Mixture.tokenBudgetSample(corpus, $"dom", $"id", $"cost",
-      Seq("dom0" -> 0.6, "dom1" -> 0.4), budget).cache()
+      Seq("dom0" -> 0.6, "dom1" -> 0.4), budget)
     assert(out.where($"dom" === "dom2").count() === 0L)
     val got = out.groupBy($"dom").agg(sum($"cost").as("mass"))
       .as[(String, Long)].collect().toMap

@@ -9,8 +9,10 @@ class PackingSpec extends SparkSuite {
   private val seqLen = 100
   private lazy val docs = (1L to 300L).map(i => (i, 1L + (i * 7) % 250))
     .toDF("doc_id", "n_tok")
+  // no .cache(): the shared-session CacheManager must stay empty
+  // (DittoConverterSpec's storage-leak assertion is suite-global)
   private lazy val packed = Packing.packSequences(
-    docs, $"doc_id", $"n_tok", seqLen = seqLen, nShards = 4).cache()
+    docs, $"doc_id", $"n_tok", seqLen = seqLen, nShards = 4)
 
   test("every sequence except a shard's last is exactly seqLen full") {
     val lastSeq = packed.groupBy($"shard")

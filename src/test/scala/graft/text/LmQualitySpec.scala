@@ -19,8 +19,11 @@ class LmQualitySpec extends SparkSuite {
     (fluent ++ junk).toDF("doc_id", "text")
   }
 
+  // localCheckpoint, not cache: materializes once but leaves the shared
+  // session's CacheManager empty (DittoConverterSpec asserts suite-global
+  // emptiness)
   private lazy val scored = LmQuality.bigramScores(corpus, $"doc_id", $"text")
-    .cache()
+    .localCheckpoint()
 
   test("fluent text outscores shuffled and OOV-stuffed text") {
     val s = scored.collect()
