@@ -199,6 +199,27 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("LM quality: both count aggregations partial-aggregate map-side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = graft.text.LmQuality.bigramScores(docs, $"doc_id", $"text")
+      val plan = out.queryExecution.executedPlan
+      // the unigram/bigram/per-doc groupBys must all combine before their
+      // exchange — a word-count that shuffles raw tokens is wrong at 100TB
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      val aggShuffles = shuffles.filter(_.child.toString.contains("HashAggregate"))
+      assert(aggShuffles.nonEmpty, plan.toString)
+      aggShuffles.foreach { s =>
+        assert(s.child.toString.contains("partial_count") ||
+          s.child.toString.contains("partial_sum"),
+          s"aggregation not map-side combined:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sequence packing is one shuffle (the per-shard sort window)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import spark.implicits._
