@@ -34,31 +34,41 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
  */
 object LmQuality {
 
-  /** @return (id, n_bigrams, avg_ll): docs with < 2 tokens get
+  /** @param persist materializer for the slim (token, count) unigram
+    *         model table — it is both counted (for V) and joined, so an
+    *         unmaterialized plan would tokenize the corpus twice. Same
+    *         eager contract as ConnectedComponents.run / PageRank.run;
+    *         production corpora pass reliable storage.
+    * @return (id, n_bigrams, avg_ll): docs with < 2 tokens get
     *         n_bigrams = 0 and a null score (no evidence, not bad
     *         evidence — callers gate on n_bigrams). */
   def bigramScores(docs: DataFrame, id: Column, text: Column,
-      addK: Double = 0.5): DataFrame = {
+      addK: Double = 0.5,
+      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val toks = graft.functions.GraftFunctions.tokens(text)
     val base = docs.select(id.as("lm_id"), toks.as("toks"))
     val nTok = size(col("toks"))
-    // bigram stream: zip the array with its own tail (narrow, codegen'd)
+    // bigram stream: zip the array with its own tail (narrow, codegen'd),
+    // carrying the first token OUT of the zip so the unigram join below
+    // is a plain column equi-join — no per-occurrence re-parsing
     val bigrams = base.select(col("lm_id"),
       explode(zip_with(
         slice(col("toks"), lit(1), greatest(lit(0), nTok - 1)),
         slice(col("toks"), lit(2), greatest(lit(0), nTok - 1)),
-        (a, b) => concat(a, lit(" "), b))).as("bg"))
-    val first = split(col("bg"), " ", 2).getItem(0)
+        (a, b) => struct(a.as("t1"), concat(a, lit(" "), b).as("bg")))).as("e"))
+      .select(col("lm_id"), col("e.t1").as("t1"), col("e.bg").as("bg"))
 
-    // corpus model: the two word-count aggregations
-    val uni = base.select(explode(col("toks")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    // corpus model: the two word-count aggregations. The unigram table is
+    // materialized once — V (the one driver-side scalar) and the scoring
+    // join both read the persisted slim rows, not a re-tokenized corpus.
+    val uni = persist(base.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu")))
     val big = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val v = uni.count() // vocab size — the one driver-side scalar
+    val v = uni.count() // vocab size
 
     val scored = bigrams
       .join(big, "bg")
-      .join(uni, first === col("t"))
+      .join(uni, col("t1") === col("t"))
       .select(col("lm_id"),
         round(log(
           (col("cb").cast(DoubleType) + lit(addK)) /

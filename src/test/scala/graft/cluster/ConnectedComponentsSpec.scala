@@ -26,9 +26,14 @@ class ConnectedComponentsSpec extends SparkSuite {
     // plus one extra job per round — never a deadlocked obs.get
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L))
-    val lazyCc = ConnectedComponents.run(spark, edges.toDF("src", "dst"),
-        persist = _.cache())
-      .as[(Long, Long)].collect().toMap
+    val lazyCc =
+      try ConnectedComponents.run(spark, edges.toDF("src", "dst"),
+          persist = _.cache())
+        .as[(Long, Long)].collect().toMap
+      // the cached per-round frames live in the SHARED session's
+      // CacheManager, which DittoConverterSpec asserts is empty — release
+      // them here or the suite fails order-dependently
+      finally spark.catalog.clearCache()
     assert(lazyCc === runCc(edges))
   }
 

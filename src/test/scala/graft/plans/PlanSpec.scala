@@ -207,15 +207,30 @@ class PlanSpec extends SparkSuite {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val out = graft.text.LmQuality.bigramScores(docs, $"doc_id", $"text")
       val plan = out.queryExecution.executedPlan
-      // the unigram/bigram/per-doc groupBys must all combine before their
-      // exchange — a word-count that shuffles raw tokens is wrong at 100TB
-      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-      val aggShuffles = shuffles.filter(_.child.toString.contains("HashAggregate"))
-      assert(aggShuffles.nonEmpty, plan.toString)
-      aggShuffles.foreach { s =>
-        assert(s.child.toString.contains("partial_count") ||
-          s.child.toString.contains("partial_sum"),
-          s"aggregation not map-side combined:\n$s")
+      // every grouped aggregation (bigram counts + per-doc score; the
+      // unigram model is behind the persist boundary) must place a
+      // Partial-mode HashAggregate IMMEDIATELY below its exchange — a
+      // word-count that shuffles raw tokens is wrong at 100TB. Inspect
+      // the exchange's direct child node, not the subtree string: any
+      // deeper partial agg would make a substring check pass vacuously.
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      import org.apache.spark.sql.execution.{InputAdapter, WholeStageCodegenExec}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+      @scala.annotation.tailrec
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case w: WholeStageCodegenExec => unwrap(w.child)
+        case i: InputAdapter => unwrap(i.child)
+        case other => other
+      }
+      val aggShuffles = plan.collect {
+        case s: ShuffleExchangeExec => unwrap(s.child)
+      }.collect { case h: HashAggregateExec => h }
+      assert(aggShuffles.size >= 2,
+        s"expected the bigram-count and per-doc aggs above partials:\n$plan")
+      aggShuffles.foreach { h =>
+        assert(h.aggregateExpressions.forall(_.mode == Partial),
+          s"aggregation below its exchange is not Partial:\n$h")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
