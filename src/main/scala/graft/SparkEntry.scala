@@ -102,8 +102,12 @@ object SparkEntry {
     "q3_join_agg" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       val li = t(dir, "lineitem"); val o = t(dir, "orders")
       val c = t(dir, "customer")
+      // no forced broadcast hint: at 100× scale customer is multi-GB and
+      // an unconditional broadcast is a driver OOM. Catalyst's size
+      // estimate / AQE picks broadcast when the dim side is small
+      // (PlanSpec asserts it does at test scale).
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy($"c_mktsegment").agg(
           count(lit(1)).as("n_rows"),
           sum($"l_quantity").as("sum_qty"),

@@ -142,7 +142,12 @@ object DittoConverter {
     }.toMap
 
   /** Sink with QUOTE_NONNUMERIC-equivalent quoting (computer.py:40):
-    * all string columns quoted, numeric columns bare. */
+    * all string columns quoted, numeric columns bare.
+    *
+    * SCOPE: golden-parity writer ONLY. The coalesce(1) single-task sink
+    * exists because the reference (pandas to_csv) emits exactly one file
+    * to byte-compare against; it must never become a production sink
+    * path — at scale, write partitioned parquet (Snapshots) instead. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite")
       .option("header", true).option("quoteAll", true)
@@ -166,6 +171,7 @@ object DittoConverter {
     header.unionByName(body).orderBy("_k").select("value")
   }
 
+  /** Golden-parity writer only (one file, like pandas) — see writeCsv. */
   def writeReferenceCsv(df: DataFrame, path: String): Unit =
     referenceCsvLines(df).coalesce(1).write.mode("overwrite").text(path)
 }

@@ -89,9 +89,14 @@ object Metrics {
       .coalesce(1).write.mode("overwrite")
       .option("header", true).option("sep", "\t").csv(path)
 
+  /** Explicit schema (no inferSchema second pass over the file). */
+  private val evalLogSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "gold INT, pred INT, result STRING, probability DOUBLE, " +
+      "text_left STRING, text_right STRING")
+
   def readEvalLog(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.option("header", true).option("sep", "\t")
-      .option("inferSchema", true).csv(path)
+      .schema(evalLogSchema).csv(path)
 
   /** Pairwise metrics of a clustering against labeled pairs: pred = 1 iff
     * both sides landed in the same cluster.

@@ -36,6 +36,9 @@ object Mixture {
     */
   def tokenBudgetSample(df: DataFrame, domain: Column, key: Column,
       cost: Column, weights: Seq[(String, Double)], budget: Long): DataFrame = {
+    val temps = Set("mx_domain", "mx_cost", "mx_w", "mx_total", "mx_rate")
+    require(!df.columns.exists(temps),
+      s"input columns collide with Mixture temporaries ${temps.mkString(", ")}")
     val spark = df.sparkSession
     val dom = domain.as("mx_domain")
     val totals = df.select(dom, cost.cast(LongType).as("mx_cost"))

@@ -39,7 +39,10 @@ object Packing {
 
   /** @param df      corpus; rows with non-positive `tokens` are dropped
     * @param key     unique, orderable doc key (concatenation order within
-    *                a shard is ascending `key` — deterministic)
+    *                a shard is ascending `key` — deterministic). Uniqueness
+    *                is ENFORCED: a duplicate key fails the job loudly
+    *                (see dupGuard below) instead of silently corrupting
+    *                the packed layout.
     * @param tokens  per-doc token count
     * @param seqLen  training sequence length in tokens
     * @param nShards number of independently packed shards */
@@ -55,9 +58,20 @@ object Packing {
           .cast(IntegerType))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("k")
+    // Duplicate keys would TIE in the cumsum's default RANGE frame (both
+    // rows get the same off_end → silently overlapping spans), so the
+    // unique-key contract is enforced loudly: a lag() over the same
+    // window spec (same sort run — no extra exchange or pass) trips
+    // assert_true on the first adjacent duplicate. On success the term
+    // is null → coalesce contributes 0 to off_begin.
+    val dupGuard = coalesce(
+      assert_true(!(col("k") <=> lag(col("k"), 1).over(w)),
+        concat(lit("Packing.packSequences: duplicate key "), col("k")))
+        .cast(LongType),
+      lit(0L))
     val off = base
       .withColumn("off_end", sum(col("n")).over(w))
-      .withColumn("off_begin", col("off_end") - col("n"))
+      .withColumn("off_begin", col("off_end") - col("n") + dupGuard)
     off.select(col("shard"), col("k"), col("n"), col("off_begin"),
         explode(sequence(
           expr(s"off_begin DIV ${seqLen}"),

@@ -36,9 +36,15 @@ object LmQuality {
 
   /** @param persist materializer for the slim (token, count) unigram
     *         model table — it is both counted (for V) and joined, so an
-    *         unmaterialized plan would tokenize the corpus twice. Same
+    *         unmaterialized plan would tokenize the corpus once more. Same
     *         eager contract as ConnectedComponents.run / PageRank.run;
-    *         production corpora pass reliable storage.
+    *         production corpora pass reliable storage. NOTE the corpus is
+    *         still tokenized three times by design (unigram-count pass,
+    *         bigram-count pass, scoring probe): tokenization is a narrow
+    *         codegen'd map, and re-running it is the 100-TB-cheap choice
+    *         vs materializing the per-OCCURRENCE bigram stream (which is
+    *         larger than the corpus itself). Only the slim MODEL tables
+    *         ever persist or shuffle.
     * @return (id, n_bigrams, avg_ll): docs with < 2 tokens get
     *         n_bigrams = 0 and a null score (no evidence, not bad
     *         evidence — callers gate on n_bigrams). */

@@ -53,4 +53,13 @@ class MixtureSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(small.subsetOf(big))
   }
+
+  test("input columns colliding with mx_* temporaries are rejected") {
+    val bad = corpus.withColumn("mx_rate", lit(1.0))
+    val ex = intercept[IllegalArgumentException] {
+      Mixture.tokenBudgetSample(bad, $"dom", $"id", $"cost",
+        Seq("dom0" -> 1.0), 1000L)
+    }
+    assert(ex.getMessage.contains("Mixture temporaries"))
+  }
 }

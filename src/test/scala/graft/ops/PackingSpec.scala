@@ -61,4 +61,15 @@ class PackingSpec extends SparkSuite {
       seqLen = seqLen, nShards = 4)
     assert(p.where($"k" >= 9000L).count() === 0L)
   }
+
+  test("duplicate keys fail loudly instead of silently overlapping spans") {
+    val dup = docs.union(Seq((7L, 42L)).toDF("doc_id", "n_tok"))
+    val ex = intercept[Exception] { // SparkRuntimeException (USER_RAISED)
+      Packing.packSequences(dup, $"doc_id", $"n_tok",
+        seqLen = seqLen, nShards = 4).collect()
+    }
+    assert(ex.getMessage.contains("duplicate key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate key")),
+      ex.getMessage)
+  }
 }

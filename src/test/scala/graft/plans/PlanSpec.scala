@@ -31,8 +31,13 @@ class PlanSpec extends SparkSuite {
       s"columns not pruned:\n$scan")
   }
 
-  test("q3 join broadcasts the small customer dimension") {
-    val plan = planString(SparkEntry.queries("q3_join_agg")(spark, dir))
+  test("q3 join broadcasts the small customer dimension WITHOUT a hint") {
+    // the query carries no broadcast() hint (a forced hint is a driver
+    // OOM at 100× scale) — Catalyst's size estimate / AQE must still
+    // pick a broadcast for the small dim side on its own
+    val df = SparkEntry.queries("q3_join_agg")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val plan = planString(df)
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
