@@ -564,6 +564,44 @@ object SparkEntry {
       val staged = stageAndRead(s, "enrich_input", subset)
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.wdcTitle)
     }),
+    // per-dataset enrichment rule chains (R3/R4/R7-R15) under the oracle:
+    // each stages a deterministic dirty wide-pair fixture (PairGen) and
+    // runs the dataset config; the DuckDB twin re-derives every rule
+    // chain (initcap/dedupe via list lambdas, lookaheads translated to
+    // RE2-safe capture form). All are zero-shuffle narrow selects.
+    "enrich_beer" -> ((s, dir) => {
+      val staged = stageAndRead(s, "enrich_beer_input",
+        graft.gen.PairGen.beerPairs(s))
+      graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.beer)
+    }),
+    "enrich_dblacm" -> ((s, dir) => {
+      val staged = stageAndRead(s, "enrich_dblacm_input",
+        graft.gen.PairGen.dblacmPairs(s))
+      graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.dblacm)
+    }),
+    "enrich_fodors" -> ((s, dir) => {
+      val staged = stageAndRead(s, "enrich_fodors_input",
+        graft.gen.PairGen.fodorsPairs(s))
+      graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.fodors)
+    }),
+    "enrich_itunes" -> ((s, dir) => {
+      val staged = stageAndRead(s, "enrich_itunes_input",
+        graft.gen.PairGen.itunesPairs(s))
+      graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.itunes)
+    }),
+    "enrich_camera" -> ((s, dir) => {
+      val staged = stageAndRead(s, "enrich_camera_input",
+        graft.gen.PairGen.cameraPairs(s))
+      graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.wdcCamera)
+    }),
+    // R14 match-sensitive alignment (computer/procs.py:70-85): unit
+    // unification + cross-copy gated on label==1, oracle-checked
+    "enrich_wdc_aligned" -> ((s, dir) => {
+      val staged = stageAndRead(s, "enrich_aligned_input",
+        graft.gen.PairGen.alignedTitlePairs(s))
+      graft.norm.Enrichment.enrich(staged,
+        graft.norm.Enrichment.wdcTitleAligned)
+    }),
     "multimodal_features" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // binary media plumbing end-to-end: staged BLOB parquet → typed
       // Dataset → partition-batched feature extraction → oracle-checkable
@@ -656,13 +694,171 @@ object SparkEntry {
   private def sqlUnitSpacing(e: String): String =
     s"regexp_replace($e, '(?i)([0-9](?:\\.[0-9]+)?)\\s*(?:inch|in)\\b', '\\1 inch', 'g')"
 
-  /** Enrichment.wdcTitle title rule: unitSpacing(stripVendorNoise(
-    * stripLangTags(cleanText(nullMarkers(c))))) then missing→'unknown'. */
-  private def sqlWdcTitle(c: String): String = {
-    val clean = sqlDedupeCollapse(
-      s"regexp_replace(${sqlNullMark(c)}, '[\\\\`]', '', 'g')")
-    s"COALESCE(${sqlUnitSpacing(sqlVendorNoise(sqlLangTags(clean)))}, 'unknown')"
+  /** Enrichment.cleanText: strip [\\`], dedupe+collapse (null-marked). */
+  private def sqlCleanText(c: String): String =
+    sqlDedupeCollapse(s"regexp_replace(${sqlNullMark(c)}, '[\\\\`]', '', 'g')")
+
+  /** Enrichment.wdcTitle title rule core (null-preserving): unitSpacing(
+    * stripVendorNoise(stripLangTags(cleanText(nullMarkers(c))))). */
+  private def sqlWdcTitleCore(c: String): String =
+    sqlUnitSpacing(sqlVendorNoise(sqlLangTags(sqlCleanText(c))))
+
+  private def sqlWdcTitle(c: String): String =
+    s"COALESCE(${sqlWdcTitleCore(c)}, 'unknown')"
+
+  // ---------- builders for the per-dataset enrichment rule chains --------
+  // Each mirrors one Column => Column from graft.norm / graft.functions;
+  // pattern lists come from the SAME Scala Seqs the Spark rules fold over
+  // (Normalize.abbreviations / cameraAbbreviations / cameraBrands /
+  // unitCompactions), so the two engines cannot drift. Java-only syntax
+  // is translated to RE2: lookahead `(?=\s|$)` becomes a captured
+  // `(\s|$)` re-emitted via `\1`, and `$1` replacements become `\1`.
+
+  private def sqlRe2Repl(r: String): String = r.replace("$1", "\\1")
+
+  private def sqlReplaceChain(e: String, rules: Seq[(String, String)]): String =
+    rules.foldLeft(e) { case (acc, (p, r)) =>
+      if (p.contains("(?=")) {
+        val p2 = p.replace("(?=\\s|$)", "(\\s|$)")
+        s"regexp_replace($acc, '$p2', '${sqlRe2Repl(r)}\\1', 'g')"
+      } else s"regexp_replace($acc, '$p', '${sqlRe2Repl(r)}', 'g')"
+    }
+
+  /** Spark initcap (first char of each space-delimited word upper, rest
+    * lower) via DuckDB list lambdas — DuckDB has no initcap builtin. */
+  private def sqlInitcap(e: String): String =
+    s"array_to_string(list_transform(string_split($e, ' '), " +
+      s"w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ')"
+
+  /** GraftFunctions.wsCollapse (fixtures are ASCII: \s+ == PyText.WS). */
+  private def sqlWsCollapse(e: String): String =
+    s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+
+  /** Enrichment.cleanEntityName = initcap(wsCollapse(dedupeWords(strip))),
+    * with an optional pre-transform between null-marking and the strip
+    * (beer brewery interposes dropCorpSuffixes there). */
+  private def sqlCleanEntityName(c: String,
+      pre: String => String = identity): String =
+    sqlInitcap(sqlDedupeCollapse(
+      s"""regexp_replace(${pre(sqlNullMark(c))}, '[\\\\`"]', '', 'g')"""))
+
+  /** Normalize.dropCorpSuffixes (same pattern, RE2 needs the 'g' flag). */
+  private def sqlDropCorp(e: String): String =
+    s"regexp_replace($e, '(?i)\\s+(inc|ltd|corp|corporation|llc|co)" +
+      s"\\.?(\\s|$$)', '\\2', 'g')"
+
+  /** GraftFunctions.boolCoerce rendered to 'true'/'false' strings. */
+  private def sqlBoolRender(c: String): String = {
+    val v = s"lower(trim(${sqlNullMark(c)}))"
+    s"(CASE WHEN $v IN ('true','yes','1') THEN 'true' " +
+      s"WHEN $v IN ('false','no','0') THEN 'false' " +
+      s"WHEN regexp_matches($v, '^[-+]?[0-9]*\\.?[0-9]+$$') " +
+      s"THEN CAST(CAST($v AS DOUBLE) <> 0.0 AS VARCHAR) " +
+      s"ELSE 'false' END)"
   }
+
+  /** GraftFunctions.abvParse cast to string (Spark Double.toString and
+    * DuckDB's DOUBLE→VARCHAR are both shortest-round-trip). */
+  private def sqlAbvRender(c: String): String = {
+    val v = s"lower(trim(${sqlNullMark(c)}))"
+    val num = s"nullif(regexp_extract($v, '[-+]?[0-9]*\\.?[0-9]+', 0), '')"
+    s"(CASE WHEN $v IS NULL OR $v IN ('','n/a','na','none','unknown','-') " +
+      s"THEN NULL ELSE CAST(CAST($num AS DOUBLE) AS VARCHAR) END)"
+  }
+
+  /** Beer R7 primary: initcap(trim(last '/'-segment)). */
+  private def sqlPrimaryStyle(c: String): String = {
+    val parts = s"string_split(${sqlNullMark(c)}, '/')"
+    sqlInitcap(s"trim(($parts)[len($parts)])")
+  }
+
+  /** Beer R7 secondary: first segment minus 'american', when compound. */
+  private def sqlSecondaryStyle(c: String): String = {
+    val parts = s"string_split(${sqlNullMark(c)}, '/')"
+    val cleaned = sqlInitcap(s"trim(regexp_replace(($parts)[1], " +
+      s"'(?i)\\bamerican\\b', '', 'g'))")
+    s"(CASE WHEN len($parts) > 1 THEN $cleaned ELSE NULL END)"
+  }
+
+  /** Normalize.venueCanon (same anchored alternations). */
+  private def sqlVenue(c: String): String = {
+    val t = s"trim(${sqlNullMark(c)})"
+    s"(CASE WHEN regexp_matches($t, '(?i)^(international conference on " +
+      s"management of data|sigmod|sigmod conference)$$') THEN 'SIGMOD Conference' " +
+      s"WHEN regexp_matches($t, '(?i)^(acm sigmod record|sigmod record)$$') " +
+      s"THEN 'ACM SIGMOD Record' " +
+      s"WHEN regexp_matches($t, '(?i)^(the vldb journal.*|vldb j\\.|vldb journal)$$') " +
+      s"THEN 'VLDB Journal' " +
+      s"WHEN regexp_matches($t, '(?i)^(very large data bases|vldb|vldb conference)$$') " +
+      s"THEN 'VLDB' ELSE $t END)"
+  }
+
+  /** GraftFunctions.phoneUs. */
+  private def sqlPhone(c: String): String = {
+    val d0 = s"regexp_replace(${sqlNullMark(c)}, '[^0-9]', '', 'g')"
+    val d = s"(CASE WHEN length($d0) = 11 AND substr($d0,1,1) = '1' " +
+      s"THEN substr($d0,2,10) ELSE $d0 END)"
+    s"(CASE WHEN length($d) = 10 THEN substr($d,1,3) || '-' || " +
+      s"substr($d,4,3) || '-' || substr($d,7,4) ELSE NULL END)"
+  }
+
+  /** Fodors city canon: LA/NYC variants, else initcap(wsCollapse). */
+  private def sqlCity(c: String): String = {
+    val t = s"lower(trim(${sqlNullMark(c)}))"
+    s"(CASE WHEN $t IN ('la','l.a.') THEN 'Los Angeles' " +
+      s"WHEN $t IN ('nyc','new york') THEN 'New York City' " +
+      s"ELSE ${sqlInitcap(sqlWsCollapse(sqlNullMark(c)))} END)"
+  }
+
+  /** GraftFunctions.priceUsd ('USD %.2f' or null). */
+  private def sqlPriceUsd(c: String): String = {
+    val v = s"lower(trim(${sqlNullMark(c)}))"
+    val cleaned = s"regexp_replace($v, '^usd\\s*|[,$$]', '', 'g')"
+    val p = s"(CASE WHEN $v IS NULL OR $v IN " +
+      s"('','n/a','na','none','null','unknown') THEN NULL " +
+      s"ELSE round(try_cast($cleaned AS DOUBLE), 2) END)"
+    s"(CASE WHEN $p IS NULL THEN NULL ELSE printf('USD %.2f', $p) END)"
+  }
+
+  /** GraftFunctions.timeNormalize (MM:SS zero-padded or null). */
+  private def sqlTime(c: String): String = {
+    val parts = s"string_split(trim(${sqlNullMark(c)}), ':')"
+    s"(CASE WHEN len($parts) = 2 " +
+      s"AND regexp_matches(($parts)[1], '^[0-9]{1,2}$$') " +
+      s"AND regexp_matches(($parts)[2], '^[0-9]{1,2}$$') " +
+      s"THEN lpad(($parts)[1], 2, '0') || ':' || lpad(($parts)[2], 2, '0') " +
+      s"ELSE NULL END)"
+  }
+
+  /** GraftFunctions.dateNormalize — the same format list in the same
+    * coalesce order, Java patterns mapped to strptime. */
+  private def sqlDate(c: String): String = {
+    val t = s"trim(${sqlNullMark(c)})"
+    val d = Seq("%d-%b-%y", "%B %d, %Y", "%b %d, %Y", "%Y-%m-%d",
+        "%m/%d/%Y", "%d %B %Y")
+      .map(f => s"try_strptime($t, '$f')").mkString("COALESCE(", ", ", ")")
+    s"strftime($d, '%Y-%m-%d')"
+  }
+
+  /** GraftFunctions.yearExtract + nullif('') (both engines return '' on
+    * no-match). */
+  private def sqlYearOrNull(c: String): String =
+    s"nullif(regexp_extract(CAST(${sqlNullMark(c)} AS VARCHAR), " +
+      s"'([0-9]{4})', 1), '')"
+
+  /** Normalize.cameraNormalize: abbreviation collapse-then-expand + brand
+    * case canonicalization, generated from the same Seqs. */
+  private def sqlCameraNormalize(e: String): String =
+    sqlReplaceChain(e, graft.norm.Normalize.cameraAbbreviations ++
+      graft.norm.Normalize.cameraBrands)
+
+  /** Normalize.unitUnify (matched-pair unit compaction + collapse). */
+  private def sqlUnitUnify(e: String): String =
+    sqlWsCollapse(sqlReplaceChain(e, graft.norm.Normalize.unitCompactions))
+
+  /** Normalize.expandAbbreviations (lookaheads translated to captures). */
+  private def sqlExpandAbbrev(e: String): String =
+    sqlReplaceChain(e, graft.norm.Normalize.abbreviations)
 
   /** ColVal.extractTitle on the synthesized `COL title VAL … COL brand
     * VAL …` page text (values never embed COL/VAL, so the greedy capture
@@ -1197,6 +1393,91 @@ object SparkEntry {
       s"""SELECT id, label, ${sqlWdcTitle("left_title")} AS left_title,
          |  ${sqlWdcTitle("right_title")} AS right_title
          |FROM ${stagePath("enrich_input")}""".stripMargin,
+    "enrich_beer" -> {
+      def side(s: String): Seq[String] = {
+        def in(c: String) = "\"" + s + "_" + c + "\""
+        def boolF(f: String) =
+          s"COALESCE(${sqlBoolRender(in(f))}, 'unknown') AS ${s}_$f"
+        Seq(
+          s"COALESCE(${sqlCleanEntityName(in("Beer_Name"))}, 'unknown') AS ${s}_name",
+          s"COALESCE(${sqlCleanEntityName(in("Brew_Factory_Name"), sqlDropCorp)}, 'unknown') AS ${s}_brewery",
+          s"COALESCE(${sqlPrimaryStyle(in("Style"))}, 'unknown') AS ${s}_primary_style",
+          s"COALESCE(${sqlSecondaryStyle(in("Style"))}, 'unknown') AS ${s}_secondary_style",
+          s"COALESCE(${sqlAbvRender(in("ABV"))}, 'unknown') AS ${s}_abv",
+          boolF("is_amber"), boolF("is_ale"), boolF("is_lager"),
+          boolF("is_imperial"),
+          s"COALESCE(lower(${sqlCleanText(in("special_ingredients"))}), 'unknown') AS ${s}_special_ingredients")
+      }
+      s"""SELECT id, label,
+         |  ${(side("left") ++ side("right")).mkString(",\n  ")}
+         |FROM ${stagePath("enrich_beer_input")}""".stripMargin
+    },
+    "enrich_dblacm" -> {
+      def side(s: String): Seq[String] = {
+        def in(c: String) = "\"" + s + "_" + c + "\""
+        Seq(
+          s"COALESCE(${sqlCleanText(in("title"))}, 'VAL -') AS ${s}_title",
+          s"COALESCE(${sqlWsCollapse(sqlNullMark(in("authors")))}, 'VAL -') AS ${s}_authors",
+          s"COALESCE(${sqlVenue(in("venue"))}, 'VAL -') AS ${s}_venue",
+          s"COALESCE(${sqlYearOrNull(in("year"))}, 'VAL -') AS ${s}_year")
+      }
+      s"""SELECT id, label,
+         |  ${(side("left") ++ side("right")).mkString(",\n  ")}
+         |FROM ${stagePath("enrich_dblacm_input")}""".stripMargin
+    },
+    "enrich_fodors" -> {
+      def side(s: String): Seq[String] = {
+        def in(c: String) = "\"" + s + "_" + c + "\""
+        Seq(
+          s"COALESCE(${sqlCleanEntityName(in("name"))}, 'unknown') AS ${s}_name",
+          s"COALESCE(${sqlInitcap(sqlWsCollapse(sqlExpandAbbrev(sqlNullMark(in("addr")))))}, 'unknown') AS ${s}_addr",
+          s"COALESCE(${sqlCity(in("city"))}, 'unknown') AS ${s}_city",
+          s"COALESCE(${sqlPhone(in("phone"))}, 'unknown') AS ${s}_phone",
+          s"COALESCE(lower(${sqlWsCollapse(sqlNullMark(in("category")))}), 'unknown') AS ${s}_category",
+          s"COALESCE(trim(${sqlNullMark(in("class"))}), 'unknown') AS ${s}_class")
+      }
+      s"""SELECT id, label,
+         |  ${(side("left") ++ side("right")).mkString(",\n  ")}
+         |FROM ${stagePath("enrich_fodors_input")}""".stripMargin
+    },
+    "enrich_itunes" -> {
+      def side(s: String): Seq[String] = {
+        def in(c: String) = "\"" + s + "_" + c + "\""
+        def out(f: String) = "\"" + s + "_" + f + "\""
+        Seq(
+          s"COALESCE(${sqlCleanText(in("Song_Name"))}, 'VAL -') AS ${out("Song_Name")}",
+          s"COALESCE(${sqlWsCollapse(sqlNullMark(in("Artist_Name")))}, 'VAL -') AS ${out("Artist_Name")}",
+          s"COALESCE(${sqlCleanText(in("Album_Name"))}, 'VAL -') AS ${out("Album_Name")}",
+          s"COALESCE(${sqlWsCollapse(sqlNullMark(in("Genre")))}, 'VAL -') AS ${out("Genre")}",
+          s"COALESCE(${sqlPriceUsd(in("Price"))}, 'VAL -') AS ${out("Price")}",
+          s"COALESCE(${sqlWsCollapse(sqlNullMark(in("CopyRight")))}, 'VAL -') AS ${out("CopyRight")}",
+          s"COALESCE(${sqlTime(in("Time"))}, 'VAL -') AS ${out("Time")}",
+          s"COALESCE(${sqlDate(in("Released"))}, 'VAL -') AS ${out("Released")}")
+      }
+      s"""SELECT id, label,
+         |  ${(side("left") ++ side("right")).mkString(",\n  ")}
+         |FROM ${stagePath("enrich_itunes_input")}""".stripMargin
+    },
+    "enrich_camera" ->
+      s"""SELECT id, label,
+         |  COALESCE(${sqlCameraNormalize(sqlWdcTitleCore("left_title"))}, 'unknown') AS left_title,
+         |  COALESCE(${sqlCameraNormalize(sqlWdcTitleCore("right_title"))}, 'unknown') AS right_title
+         |FROM ${stagePath("enrich_camera_input")}""".stripMargin,
+    // R14: matched pairs (label=1) unit-unify and cross-copy a missing
+    // side; unmatched pairs keep the base normalization only
+    "enrich_wdc_aligned" ->
+      s"""WITH s AS (SELECT id, label,
+         |    ${sqlWdcTitleCore("left_title")} AS nl,
+         |    ${sqlWdcTitleCore("right_title")} AS nr
+         |  FROM ${stagePath("enrich_aligned_input")}),
+         |a AS (SELECT id, label,
+         |    CASE WHEN label = 1 THEN ${sqlUnitUnify("nl")} ELSE nl END AS ml,
+         |    CASE WHEN label = 1 THEN ${sqlUnitUnify("nr")} ELSE nr END AS mr
+         |  FROM s)
+         |SELECT id, label,
+         |  COALESCE(CASE WHEN label = 1 AND ml IS NULL THEN mr ELSE ml END, 'unknown') AS left_title,
+         |  COALESCE(CASE WHEN label = 1 AND mr IS NULL THEN ml ELSE mr END, 'unknown') AS right_title
+         |FROM a""".stripMargin,
     "er_extract" -> {
       val canon = sqlExtractTitle("text")
       val norm = s"lower(${sqlDedupeCollapse(sqlUnitSpacing(sqlVendorNoise(sqlLangTags("canonical_text"))))})"

@@ -222,6 +222,24 @@ object Enrichment {
     * cross-copy missing values (never price). */
   val walmartAligned: DatasetConfig = walmart.copy(alignMatches = true)
 
+  /** WDC cameras: wdcTitle plus the camera-domain abbreviation/brand
+    * rows (camers/single.py:55-67). */
+  val wdcCamera: DatasetConfig = wdcTitle.copy(
+    name = "wdc_camera",
+    rules = Map("title" -> (c => Normalize.cameraNormalize(
+      Normalize.unitSpacing(Normalize.stripVendorNoise(
+        Normalize.stripLangTags(cleanText(c))))))))
+
+  /** WDC titles with the reference's match-sensitive alignment ON
+    * (computer/procs.py:70-85): matched pairs unify units to compact
+    * form and cross-copy a missing title; part codes are never removed
+    * or altered (procs.py:62) — see Normalize.unitUnify for why the
+    * Amazon SKU-deleting cleanup is NOT reused here. */
+  val wdcTitleAligned: DatasetConfig = wdcTitle.copy(
+    name = "wdc_title_aligned",
+    alignMatches = true,
+    matchRules = Map("title" -> (c => Normalize.unitUnify(c))))
+
   /** P5: wide pair row → per-side record structs — the reference's
     * record-splitting step that feeds each side's payload into the
     * normalizer (Amazon/prompt.py:171-186 left_record/right_record). */
@@ -261,5 +279,5 @@ object Enrichment {
 
   val all: Seq[DatasetConfig] =
     Seq(amazon, amazonAligned, beer, dblacm, fodors, itunes, walmart,
-      walmartAligned, wdcTitle)
+      walmartAligned, wdcTitle, wdcCamera, wdcTitleAligned)
 }

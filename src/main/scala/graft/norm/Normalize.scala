@@ -69,6 +69,62 @@ object Normalize {
   def expandAbbreviations(c: Column): Column =
     abbreviations.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
 
+  // ---------------- camera-domain rows (camers/single.py:55-67) ----------
+
+  /** R3 camera rows ("USM"→"Ultrasonic Motor", "SLR"→"Single Lens
+    * Reflex", "EF-S"→"EF-S Mount" — camers/single.py:63-66). Each
+    * expansion is collapse-then-expand (the expanded form is first
+    * collapsed back to the abbreviation, then the abbreviation expands)
+    * so the rewrite is idempotent WITHOUT lookahead — the list is
+    * RE2-safe and generates the DuckDB oracle twin verbatim
+    * (SparkEntry.sqlCameraNormalize). */
+  val cameraAbbreviations: Seq[(String, String)] = Seq(
+    "(?i)\\bultrasonic motor\\b" -> "USM",
+    "(?i)\\busm\\b" -> "Ultrasonic Motor",
+    "(?i)\\bsingle lens reflex\\b" -> "SLR",
+    "(?i)\\bslr\\b" -> "Single Lens Reflex",
+    "(?i)\\bef-s mount\\b" -> "EF-S",
+    "(?i)\\bef-s\\b" -> "EF-S Mount")
+
+  /** Camera brand standardization (camers/single.py:60-61: "Standardize
+    * known brands: Canon, Nikon, Sigma, GoPro, Panasonic, Sony, etc.").
+    * Case canonicalization at word boundaries + the "go pro"/"Gopro"/
+    * "GOPRO" variants observed in camers/train.csv. Kept per-domain (a
+    * separate table, not merged into `abbreviations`) so camera rows
+    * never globalize into the software/address datasets. */
+  val cameraBrands: Seq[(String, String)] = Seq(
+    "(?i)\\bgo\\s*pro\\b" -> "GoPro",
+    "(?i)\\bcanon\\b" -> "Canon",
+    "(?i)\\bnikon\\b" -> "Nikon",
+    "(?i)\\bsigma\\b" -> "Sigma",
+    "(?i)\\bpanasonic\\b" -> "Panasonic",
+    "(?i)\\bsony\\b" -> "Sony",
+    "(?i)\\bolympus\\b" -> "Olympus",
+    "(?i)\\bpentax\\b" -> "Pentax",
+    "(?i)\\bfujifilm\\b" -> "Fujifilm")
+
+  def cameraNormalize(c: Column): Column =
+    (cameraAbbreviations ++ cameraBrands).foldLeft(c) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** Match-sensitive unit unification (computer/procs.py:73-76: if
+    * label = 1, "Unify units (e.g., \"3.5 inch\" → \"3.5in\",
+    * \"7200 RPM\" → \"7200RPM\")"). Compacts number+unit pairs and NEVER
+    * touches alphanumeric part codes (procs.py:62 "Never remove or alter
+    * alphanumeric model numbers") — which is why wdcTitleAligned does NOT
+    * reuse alignedTitleCleanup: that is the Amazon-software matched-pair
+    * rule, and it deletes SKU codes. Idempotent; RE2-safe. */
+  val unitCompactions: Seq[(String, String)] = Seq(
+    "(?i)\\b(\\d+(?:\\.\\d+)?)\\s*(?:inch|in)\\b" -> "$1in",
+    "(?i)\\b(\\d+(?:\\.\\d+)?)\\s*rpm\\b" -> "$1RPM",
+    "(?i)\\b(\\d+(?:\\.\\d+)?)\\s*gb\\b" -> "$1GB",
+    "(?i)\\b(\\d+(?:\\.\\d+)?)\\s*tb\\b" -> "$1TB",
+    "(?i)\\b(\\d+(?:\\.\\d+)?)\\s*mhz\\b" -> "$1MHz")
+
+  def unitUnify(c: Column): Column =
+    wsCollapse(unitCompactions.foldLeft(c) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r) })
+
   /** R4: brand/entity canonicalization — corporate-suffix removal
     * (Amazon/prompt.py:92, Beer/process.py:81-84). */
   def dropCorpSuffixes(c: Column): Column =

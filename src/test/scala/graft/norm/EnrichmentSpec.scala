@@ -198,6 +198,61 @@ class EnrichmentSpec extends SparkSuite {
     assert(e0.getAs[String]("id") === "0")
   }
 
+  test("camera: golden rows lifted from camers/train.csv (R3 camera rows + brands)") {
+    // literal left/right titles from /root/reference/DeepMather/camers/
+    // train.csv rows 53, 75, 69, 190 — the USM/SLR/EF-S expansions and
+    // GOPRO/"Go Pro" brand variants named in camers/single.py:60-66
+    val df = Seq(
+      (0, 0,
+        "Canon EF-S 10-22mm USM  Canon USM Ultra-wide-angle zoom lens for APS-C sensor EOS SLR cameras at Crutchfield.com",
+        "Canon EOS Rebel T3 Digital SLR Camera with EF-S 18-55mm f/3.5-5.6 IS Lens (discontinued by manufacturer) Digital Cameras | Ultimate Shop"),
+      (1, 0,
+        "SOPORTE LATERAL GOPRO SIDE MOUNT",
+        "Tripod Adaptor Go Pro Tripod Adaptor - Accessories Video Cameras Electronic & Orienteering Devices at Barrabes.com"))
+      .toDF("id", "label", "left_title", "right_title")
+    val out = Enrichment.enrich(df, Enrichment.wdcCamera).collect()
+    assert(out(0).getAs[String]("left_title") ===
+      "Canon EF-S Mount 10-22mm Ultrasonic Motor Canon Ultrasonic Motor " +
+        "Ultra-wide-angle zoom lens for APS-C sensor EOS Single Lens Reflex " +
+        "cameras at Crutchfield.com")
+    val r0 = out(0).getAs[String]("right_title")
+    assert(r0.contains("Digital Single Lens Reflex Camera") &&
+      r0.contains("EF-S Mount 18-55mm"), r0)
+    assert(out(1).getAs[String]("left_title") ===
+      "SOPORTE LATERAL GoPro SIDE MOUNT")
+    assert(out(1).getAs[String]("right_title").startsWith(
+      "Tripod Adaptor GoPro Tripod Adaptor"), out(1).getAs[String]("right_title"))
+    // idempotent: enriching the enriched output is a fixed point
+    val once = Enrichment.enrich(df, Enrichment.wdcCamera)
+    val twice = Enrichment.enrich(once, Enrichment.wdcCamera)
+    assert(once.collect().toSeq === twice.collect().toSeq)
+  }
+
+  test("wdcTitleAligned: matched pairs unit-unify + cross-copy; part codes survive") {
+    val l = "WD 2TB 7200 RPM 3.5 inch WD20EFRX"
+    val r = "WD 2 TB 7200RPM 3.5in WD20EFRX"
+    val df = Seq(
+      (0, 1, l, r),                        // matched: must converge
+      (1, 0, l, r),                        // unmatched: light normalization
+      (2, 1, l, null.asInstanceOf[String]), // matched + missing: cross-copy
+      (3, 0, l, null.asInstanceOf[String])) // unmatched + missing: unknown
+      .toDF("id", "label", "left_title", "right_title")
+    val out = Enrichment.enrich(df, Enrichment.wdcTitleAligned)
+      .orderBy("id").collect()
+    val unified = "WD 2TB 7200RPM 3.5in WD20EFRX"
+    assert(out(0).getAs[String]("left_title") === unified)
+    assert(out(0).getAs[String]("right_title") === unified)
+    // label=0 keeps the base (expanded-unit) normalization, sides differ
+    assert(out(1).getAs[String]("left_title") === "WD 2TB 7200 RPM 3.5 inch WD20EFRX")
+    assert(out(1).getAs[String]("right_title") === "WD 2 TB 7200RPM 3.5 inch WD20EFRX")
+    // R14a cross-copy only for matched pairs
+    assert(out(2).getAs[String]("right_title") === unified)
+    assert(out(3).getAs[String]("right_title") === "unknown")
+    // procs.py:62: part codes never removed or altered
+    out.foreach(r0 => assert(
+      r0.getAs[String]("left_title").contains("WD20EFRX"), r0.toString))
+  }
+
   test("R4: brand canonicalization via broadcast dim join") {
     val df = Seq((0, "hewlett packard corp"), (1, "Google LLC"), (2, "NoName"))
       .toDF("id", "brand")
