@@ -156,14 +156,18 @@ object DittoConverter {
   /** Byte-exact QUOTE_NONNUMERIC parity writer (pandas to_csv semantics:
     * header labels are strings so QUOTE_NONNUMERIC quotes them too,
     * numeric cells bare, string cells quoted with `"` doubled). Emits the
-    * file as ordered text lines. */
-  def referenceCsvLines(df: DataFrame): DataFrame = {
+    * file as ordered text lines.
+    * @param quoteHeader the committed reference computer {test,train}.csv
+    *   goldens carry an UNQUOTED header over a QUOTE_NONNUMERIC body —
+    *   pass false to replay those files byte-exactly. */
+  def referenceCsvLines(df: DataFrame, quoteHeader: Boolean = true): DataFrame = {
     val numeric = Set("id", "label")
     val cols = df.columns
     def cell(name: String) =
       if (numeric(name)) col(name).cast(StringType)
       else concat(lit("\""), regexp_replace(col(name), "\"", "\"\""), lit("\""))
-    def quoteLabel(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+    def quoteLabel(s: String) =
+      if (quoteHeader) "\"" + s.replace("\"", "\"\"") + "\"" else s
     val body = df.select(col("id").cast(LongType).as("_k"),
       concat_ws(",", cols.map(cell): _*).as("value"))
     val header = df.sparkSession.range(1).select(
