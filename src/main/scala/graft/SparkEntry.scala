@@ -74,6 +74,25 @@ object SparkEntry {
     else stageAndRead(spark, name, df, tag)
   }
 
+  /** Train/eval decontamination fixture, shared by doc_decontaminate and
+    * curation_e2e: 12-token spans cut from a hash-selected corpus slice
+    * (guaranteed contamination) plus synthetic holdout rows whose tokens
+    * appear nowhere in the corpus (guaranteed clean path). */
+  private def deconEvalFixture(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp = s; import s.implicits._
+    stageOnce(s, "decon_eval", {
+      val docs = t(dir, "documents")
+      val spans = docs.where(pmod($"doc_id", lit(97)) === 3)
+        .select($"doc_id".as("eval_id"),
+          array_join(slice(GraftFunctions.tokens($"text"), 3, 12), " ")
+            .as("text"))
+      val clean = s.range(20).select(($"id" + 100000L).as("eval_id"),
+        concat_ws(" ", (0 until 9).map(j =>
+          concat(lit("holdout"), $"id", lit(s"x$j"))): _*).as("text"))
+      spans.unionByName(clean)
+    }, tag = dir)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full ER pipeline over a generated 300-entity page corpus: extract →
     * block(LSH) → score → cluster, returning url→component assignments. */
@@ -199,16 +218,7 @@ object SparkEntry {
       // corpus (guaranteed clean path). Eval side broadcasts; the
       // corpus never shuffles.
       val docs = t(dir, "documents")
-      val eval = stageOnce(s, "decon_eval", {
-        val spans = docs.where(pmod($"doc_id", lit(97)) === 3)
-          .select($"doc_id".as("eval_id"),
-            array_join(slice(GraftFunctions.tokens($"text"), 3, 12), " ")
-              .as("text"))
-        val clean = s.range(20).select(($"id" + 100000L).as("eval_id"),
-          concat_ws(" ", (0 until 9).map(j =>
-            concat(lit("holdout"), $"id", lit(s"x$j"))): _*).as("text"))
-        spans.unionByName(clean)
-      }, tag = dir)
+      val eval = deconEvalFixture(s, dir)
       graft.text.Decontaminate.flagged(docs, $"doc_id", $"text",
         eval, $"text", n = 8)
     }),
@@ -255,6 +265,48 @@ object SparkEntry {
       graft.ops.Packing.packSequences(t(dir, "documents"),
           $"doc_id", $"n_chars", seqLen = 2048, nShards = 8)
         .withColumnRenamed("k", "doc_id")
+    }),
+    "curation_e2e" -> ((s, dir) => { implicit val sp = s; import s.implicits._
+      // the full curation COMPOSITION under one oracle: pii → quality
+      // (char floor + repetition ceiling) → exact dedup → near-dup CC
+      // keepers → decontaminate → mixture → packing, as one declarative
+      // plan (CurationApp wires the same stages with snapshots/stats).
+      // The packed layout depends on every upstream drop decision, so a
+      // single hash-match pins the chain, not just each stage. The
+      // staged corpus plants PII (PiiGen) and exact byte-duplicates
+      // (copies under new ids) so stages 1 and 3 do real work.
+      val cur = stageOnce(s, "curation_docs", {
+        val injected = graft.gen.PiiGen.inject(
+          t(dir, "documents"), $"doc_id", $"text")
+        val copies = injected.where(pmod($"doc_id", lit(83)) === 4)
+          .withColumn("doc_id", $"doc_id" + 2000000L)
+        injected.unionByName(copies)
+      }, tag = dir)
+      val eval = deconEvalFixture(s, dir)
+      val pii = graft.text.Pii.redact(cur, $"doc_id", $"text")
+        .select($"doc_id", $"clean_text")
+        .join(cur.drop("text"), Seq("doc_id"))
+      val sig = graft.text.Repetition.repetitionScore(
+        graft.text.Repetition.signals(pii, $"doc_id", $"clean_text"))
+        .select($"doc_id", $"rep_score")
+      val quality = pii.join(sig, Seq("doc_id"), "left")
+        .where(length($"clean_text") >= 60 &&
+          coalesce($"rep_score", lit(0.0)) <= 0.2)
+        .drop("rep_score")
+      val exact = Dedup.exactKeepers(quality, $"clean_text", $"doc_id")
+      val pairs = Dedup.minhashPairs(exact, $"doc_id", $"clean_text",
+        bands = 8, rowsPerBand = 4, jaccardFloor = 0.7)
+      val keep = Dedup.nearDupKeepers(exact, $"doc_id", pairs)
+        .where($"doc_id" === $"keeper").select("doc_id")
+      val near = exact.join(keep, Seq("doc_id"))
+      val flagged = graft.text.Decontaminate.flagged(near, $"doc_id",
+        $"clean_text", eval, $"text", n = 8)
+      val dec = near.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+      val mixed = graft.ops.Mixture.tokenBudgetSample(dec, $"source",
+        $"doc_id", $"n_chars",
+        Seq("src0" -> 0.45, "src1" -> 0.25, "src2" -> 0.3), budget = 10000L)
+      graft.ops.Packing.packSequences(mixed, $"doc_id", $"n_chars",
+        seqLen = 2048, nShards = 8).withColumnRenamed("k", "doc_id")
     }),
     "web_pagerank" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // crawl-prioritization PageRank over a staged host link graph —
@@ -1371,6 +1423,110 @@ object SparkEntry {
         |comp AS (SELECT id, least(id, min(r)) AS keeper FROM reach GROUP BY id)
         |SELECT d2.doc_id, COALESCE(comp.keeper, d2.doc_id) AS keeper
         |FROM documents d2 LEFT JOIN comp ON d2.doc_id = comp.id""".stripMargin,
+
+    // Single composed twin for the whole curation chain: every stage is
+    // re-derived (same fragments as its standalone oracle) over the
+    // PREVIOUS stage's CTE, so the final packed layout certifies the
+    // composition end-to-end. Constants mirror the Spark query: chars>=60,
+    // rep<=0.2, jaccard>=0.7 (3-word shingles), 8-gram decon, weights
+    // src0/.45 src1/.25 src2/.3 over budget 10000, seqLen 2048 / 8 shards.
+    "curation_e2e" ->
+      s"""WITH RECURSIVE
+        |src AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM ${stagePath("curation_docs")}),
+        |t1 AS (SELECT *, regexp_replace(text, '${graft.text.Pii.emailRe}',
+        |    '<EMAIL>', 'g') AS s1 FROM src),
+        |t2 AS (SELECT *, regexp_replace(s1, '${graft.text.Pii.phoneRe}',
+        |    '<PHONE>', 'g') AS s2 FROM t1),
+        |p AS (SELECT doc_id, lang, source, n_chars,
+        |    regexp_replace(s2, '${graft.text.Pii.ipv4Re}', '<IP>', 'g') AS ct
+        |  FROM t2),
+        |tok AS (SELECT doc_id, list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(ct), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS toks FROM p),
+        |g AS (SELECT doc_id, unnest(list_concat(toks, list_concat(
+        |    [array_to_string(toks[i:i+1], ' ')
+        |      for i in range(1, greatest(len(toks)-1, 0)+1)],
+        |    [array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, greatest(len(toks)-2, 0)+1)]))) AS gram
+        |  FROM tok),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt,
+        |    len(string_split(gram, ' ')) AS n FROM g GROUP BY doc_id, gram),
+        |a AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN cnt END), 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(max(CASE WHEN n = 1 THEN cnt END), 0) AS BIGINT) AS top1,
+        |    CAST(coalesce(max(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT) AS top2,
+        |    CAST(coalesce(max(CASE WHEN n = 3 THEN cnt END), 0) AS BIGINT) AS top3
+        |  FROM c GROUP BY doc_id),
+        |rep AS (SELECT doc_id, greatest(
+        |    CAST(top1 AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE),
+        |    CAST(top2 AS DOUBLE) * CAST(2.0 AS DOUBLE)
+        |      / CAST(greatest(n_tokens, 1) AS DOUBLE),
+        |    CAST(top3 AS DOUBLE) * CAST(3.0 AS DOUBLE)
+        |      / CAST(greatest(n_tokens, 1) AS DOUBLE)) AS rep_score FROM a),
+        |q AS (SELECT p.* FROM p LEFT JOIN rep USING (doc_id)
+        |  WHERE length(ct) >= 60
+        |    AND coalesce(rep_score, CAST(0 AS DOUBLE)) <= CAST(0.2 AS DOUBLE)),
+        |e AS (SELECT * FROM q
+        |  QUALIFY row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id) = 1),
+        |sh AS (SELECT tok.doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+        |  FROM tok JOIN e USING (doc_id)),
+        |pairs AS (SELECT a2.doc_id AS l_id, b2.doc_id AS r_id
+        |  FROM sh a2 JOIN sh b2 ON a2.doc_id < b2.doc_id
+        |  WHERE len(list_intersect(a2.sh, b2.sh)) /
+        |    len(list_distinct(list_concat(a2.sh, b2.sh))) >= 0.7),
+        |edges AS (SELECT l_id a3, r_id b3 FROM pairs
+        |          UNION SELECT r_id, l_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a3, b3 FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b3 FROM reach JOIN edges ON reach.r = edges.a3
+        |  WHERE edges.b3 <> reach.id),
+        |comp AS (SELECT id, least(id, min(r)) AS keeper FROM reach GROUP BY id),
+        |nk AS (SELECT e.* FROM e LEFT JOIN comp ON e.doc_id = comp.id
+        |  WHERE coalesce(comp.keeper, e.doc_id) = e.doc_id),
+        |tg AS (SELECT DISTINCT doc_id, ngram FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+        |      for i in range(1, greatest(len(toks)-7, 0)+1)]) AS ngram
+        |    FROM (SELECT tok.doc_id, toks FROM tok JOIN nk USING (doc_id)) tk)),
+        |etok AS (SELECT list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS toks FROM ${stagePath("decon_eval")}),
+        |eg AS (SELECT DISTINCT ngram FROM (
+        |  SELECT unnest([array_to_string(toks[i:i+7], ' ')
+        |    for i in range(1, greatest(len(toks)-7, 0)+1)]) AS ngram FROM etok)),
+        |bad AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (ngram)),
+        |dec AS (SELECT nk.* FROM nk LEFT JOIN bad USING (doc_id)
+        |  WHERE bad.doc_id IS NULL),
+        |tot AS (SELECT source, sum(n_chars) AS sm FROM dec GROUP BY source),
+        |r2 AS (SELECT source, least(CAST(1 AS DOUBLE),
+        |    CAST(10000 AS DOUBLE) * w / CAST(sm AS DOUBLE)) AS rate
+        |  FROM (SELECT source, sm,
+        |      CASE source WHEN 'src0' THEN CAST(0.45 AS DOUBLE)
+        |                  WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+        |                  WHEN 'src2' THEN CAST(0.3 AS DOUBLE) END AS w
+        |    FROM tot) t0 WHERE w IS NOT NULL),
+        |m AS (SELECT dec.* FROM dec JOIN r2 USING (source)
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) / 1152921504606846976.0 < rate),
+        |b4 AS (SELECT doc_id, n_chars AS n,
+        |    CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) / 1152921504606846976.0 * CAST(8 AS DOUBLE))
+        |      AS INT) AS shard
+        |  FROM m WHERE n_chars > 0),
+        |o AS (SELECT shard, doc_id, n,
+        |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+        |      AS off_end FROM b4),
+        |o2 AS (SELECT shard, doc_id, n, off_end, off_end - n AS off_begin FROM o),
+        |x AS (SELECT shard, doc_id, n, off_begin,
+        |    unnest(generate_series(off_begin // 2048, (off_end - 1) // 2048))
+        |      AS seq_idx FROM o2)
+        |SELECT shard, shard * 1099511627776 + seq_idx AS seq_id, doc_id,
+        |  greatest(CAST(0 AS BIGINT), seq_idx * 2048 - off_begin) AS tok_begin,
+        |  least(n, (seq_idx + 1) * 2048 - off_begin) AS tok_end
+        |FROM x""".stripMargin,
 
     // ------- staged-fixture oracles (inputs written by the Spark query) ---
     "convert_ditto" -> {
