@@ -293,7 +293,12 @@ object SparkEntry {
         .where(length($"clean_text") >= 60 &&
           coalesce($"rep_score", lit(0.0)) <= 0.2)
         .drop("rep_score")
-      val exact = Dedup.exactKeepers(quality, $"clean_text", $"doc_id")
+      // Stage the post-quality/exact-dedup survivors once: three consumers
+      // (minhash banding, CC keepers, keeper join) would otherwise each
+      // recompute the pii→repetition→quality lineage. Same materialize-
+      // between-stages pattern CurationApp uses with snapshots.
+      val exact = stageOnce(s, "curation_exact",
+        Dedup.exactKeepers(quality, $"clean_text", $"doc_id"), tag = dir)
       val pairs = Dedup.minhashPairs(exact, $"doc_id", $"clean_text",
         bands = 8, rowsPerBand = 4, jaccardFloor = 0.7)
       val keep = Dedup.nearDupKeepers(exact, $"doc_id", pairs)
