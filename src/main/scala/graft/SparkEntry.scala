@@ -527,7 +527,7 @@ object SparkEntry {
     // ---------------- ER pipeline ops (north_rule) ------------------------
     "er_extract" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // pages staged so DuckDB re-runs the extraction chain on the same rows
-      val staged = stageAndRead(s, "er_pages",
+      val staged = stageOnce(s, "er_pages",
         PageGen.pages(s, 400, seed = 7L).select($"url", $"text"))
       ERPipeline.extract(staged)
         .select($"url", $"canonical_text", $"norm_title")
@@ -537,7 +537,7 @@ object SparkEntry {
       // every cluster is exactly one planted entity and CC converges to
       // min(id) per component — so the oracle derives component ids from
       // the truth table alone.
-      stageAndRead(s, "er_truth", PageGen.pagesWithTruth(s, 400, seed = 7L)
+      stageOnce(s, "er_truth", PageGen.pagesWithTruth(s, 400, seed = 7L)
         .select($"url", xxhash64($"url").as("id"), $"entity_id"))
       val (cl, _) = ERPipeline.run(s, PageGen.pages(s, 400, seed = 7L))
       // the computed assignment is also staged so er_f1 can evaluate the
@@ -561,7 +561,7 @@ object SparkEntry {
         }
       val clStaged = stageAndRead(s, "er_f1_clusters",
         cl.select($"url", $"component"))
-      val lpStaged = stageAndRead(s, "er_f1_pairs",
+      val lpStaged = stageOnce(s, "er_f1_pairs",
         PageGen.labeledPairs(s, 400, seed = 7L)
           .select($"left_url", $"right_url", $"label"))
       ERPipeline.evaluate(clStaged, lpStaged)
@@ -577,7 +577,7 @@ object SparkEntry {
         round((when($"label" === 1, lit(400)).otherwise(lit(0)) +
           pmod(abs(xxhash64($"left_url", $"right_url")), lit(601))) / 1000.0, 3)
           .as("probability"))
-      val staged = stageAndRead(s, "eval_log", log)
+      val staged = stageOnce(s, "eval_log", log)
       graft.eval.Metrics.prAtThresholds(staged, sweepThresholds)
     }),
     "convert_ditto" -> ((s, dir) => { implicit val sp = s; import s.implicits._
@@ -598,7 +598,7 @@ object SparkEntry {
         .withColumn("ord", xxhash64($"left_url", $"right_url"))
         .where(pmod(abs($"ord"), lit(1000)) < 280)
         .select($"ord", $"value")
-      val staged = stageAndRead(s, "convert_lines", subset)
+      val staged = stageOnce(s, "convert_lines", subset)
       graft.convert.DittoConverter.convertLines(s, staged,
         graft.convert.DittoConverter.Config(robust = true,
           preferredOrder = Seq("title", "brand")), ordCol = Some("ord"))
@@ -618,7 +618,7 @@ object SparkEntry {
         .withColumn("id", xxhash64($"left_url", $"right_url"))
         .where(pmod(abs($"id"), lit(1000)) < 280)
         .select($"id", $"label", $"left_title", $"right_title")
-      val staged = stageAndRead(s, "enrich_input", subset)
+      val staged = stageOnce(s, "enrich_input", subset)
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.wdcTitle)
     }),
     // per-dataset enrichment rule chains (R3/R4/R7-R15) under the oracle:
@@ -627,34 +627,34 @@ object SparkEntry {
     // chain (initcap/dedupe via list lambdas, lookaheads translated to
     // RE2-safe capture form). All are zero-shuffle narrow selects.
     "enrich_beer" -> ((s, dir) => {
-      val staged = stageAndRead(s, "enrich_beer_input",
+      val staged = stageOnce(s, "enrich_beer_input",
         graft.gen.PairGen.beerPairs(s))
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.beer)
     }),
     "enrich_dblacm" -> ((s, dir) => {
-      val staged = stageAndRead(s, "enrich_dblacm_input",
+      val staged = stageOnce(s, "enrich_dblacm_input",
         graft.gen.PairGen.dblacmPairs(s))
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.dblacm)
     }),
     "enrich_fodors" -> ((s, dir) => {
-      val staged = stageAndRead(s, "enrich_fodors_input",
+      val staged = stageOnce(s, "enrich_fodors_input",
         graft.gen.PairGen.fodorsPairs(s))
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.fodors)
     }),
     "enrich_itunes" -> ((s, dir) => {
-      val staged = stageAndRead(s, "enrich_itunes_input",
+      val staged = stageOnce(s, "enrich_itunes_input",
         graft.gen.PairGen.itunesPairs(s))
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.itunes)
     }),
     "enrich_camera" -> ((s, dir) => {
-      val staged = stageAndRead(s, "enrich_camera_input",
+      val staged = stageOnce(s, "enrich_camera_input",
         graft.gen.PairGen.cameraPairs(s))
       graft.norm.Enrichment.enrich(staged, graft.norm.Enrichment.wdcCamera)
     }),
     // R14 match-sensitive alignment (computer/procs.py:70-85): unit
     // unification + cross-copy gated on label==1, oracle-checked
     "enrich_wdc_aligned" -> ((s, dir) => {
-      val staged = stageAndRead(s, "enrich_aligned_input",
+      val staged = stageOnce(s, "enrich_aligned_input",
         graft.gen.PairGen.alignedTitlePairs(s))
       graft.norm.Enrichment.enrich(staged,
         graft.norm.Enrichment.wdcTitleAligned)
@@ -669,7 +669,7 @@ object SparkEntry {
       // features themselves are asserted in MultimodalSpec.
       val pngUdf = udf((id: Long) =>
         graft.multimodal.Multimodal.syntheticPng(id))
-      val media = stageAndRead(s, "mm_media",
+      val media = stageOnce(s, "mm_media",
         PageGen.pages(s, 200, seed = 9L)
           .select(xxhash64($"url").as("media_id"), $"html".as("payload"))
           .unionByName(s.range(40)
