@@ -38,7 +38,7 @@ run_one() {
   local cpus="$1"
   local last=$(( cpus - 1 ))
   mkdir -p /dev/shm/spark-local
-  taskset -c "0-$last" java $ADD_OPENS -Xmx"${HEAP_GB}g" \
+  taskset -c "0-$last" java $ADD_OPENS -Xms"${HEAP_GB}g" -Xmx"${HEAP_GB}g" -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Dspark.local.dir=/dev/shm/spark-local \
     -cp "$CP" graft.ScaleBench "$ENTITIES" "$cpus" 1 "$WARMUP" 2>/dev/null \

@@ -45,7 +45,7 @@ run_level() {
   local heap=$HEAP_GB
   local last=$(( cpus - 1 ))
   mkdir -p /dev/shm/spark-local
-  taskset -c "0-$last" java $ADD_OPENS -Xmx"${heap}g" \
+  taskset -c "0-$last" java $ADD_OPENS -Xms"${heap}g" -Xmx"${heap}g" -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Dspark.local.dir=/dev/shm/spark-local \
     -cp "$CP" graft.ScaleBench "$ENTITIES" "$cpus" "$REPS" 2>/dev/null \

@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fault the whole heap in at JVM start, with 2 MB pages. This VM's
+  // anonymous-page first-touch path is pathologically slow (~30 MB/s per
+  // thread for 4 KB pages, measured; 6x faster under THP): without
+  // pre-touch, a fresh JVM's heap faults in lazily DURING the first
+  // minutes of measured work, stealing cores into kernel time and
+  // reading as noise storms in benchmarks (BENCH/BASELINE.md round 5).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseTransparentHugePages",
 )

@@ -122,11 +122,25 @@ object Bench {
   */
 object ScaleBench {
 
+  /** `cpus` = total executor cores at this level. The master defaults to
+    * in-process local[cpus]; SPARK_GRAFT_MASTER overrides it so
+    * bench/scale_cluster.sh can point the SAME measured job at a real
+    * standalone master with N or 4N separate pinned executor JVMs — the
+    * faithful emulation of the north rule's N-vs-4N EXECUTOR criterion
+    * (scale-out adds heaps together with cores; one shared local-mode heap
+    * under-provisions the wide level 4x and reads as fake GC inefficiency). */
   private def session(cpus: Int) = {
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Measurement hygiene for the standalone-cluster path (no-ops under
+      // local[n]): start only once every executor is registered (else the
+      // wide level begins scoring on 1 of 4 executors), and don't hold
+      // tasks for locality on localCheckpoint'd blocks.
+      .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+      .config("spark.locality.wait", "0s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Bench.localDir)
@@ -203,13 +217,16 @@ object ScaleBench {
     // run per JVM.
     val warmupEntities = args.lift(3).map(_.toLong).getOrElse(nEntities)
 
-    // JIT/codegen warmup at the first level (classes shared JVM-wide)
-    { val sp = session(levels.head); runOnce(sp, warmupEntities); sp.stop() }
-
     val best = scala.collection.mutable.Map.empty[Int, RunStats]
     (1 to reps).foreach { _ =>
       levels.foreach { cpus =>
         val sp = session(cpus)
+        // JIT/codegen warmup INSIDE the measured application. Under
+        // local[n] this is equivalent to a JVM-global warmup, but under a
+        // standalone master each SparkSession is a new app whose executor
+        // JVMs are spawned fresh — a warmup in a previous app warms JVMs
+        // that are already dead when the measurement starts.
+        runOnce(sp, warmupEntities)
         val r = runOnce(sp, nEntities)
         sp.stop()
         val cur = best.get(cpus)
