@@ -33,6 +33,11 @@ object PipelineApp {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // On a real multi-node cluster the checkpoint dir must be shared
+    // storage (HDFS/S3) — pre-set it via spark.checkpoint.dir or
+    // setCheckpointDir upstream; this workRoot default serves single-host
+    // deployments (incl. the bench/cluster_submit.sh standalone demo,
+    // where all executor JVMs share the local filesystem).
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(s"$workRoot/_spark_ckpt")
 
@@ -85,6 +90,11 @@ object PipelineApp {
     // Planted-truth evaluation only applies to generated corpora; an
     // external --input corpus has no labels, so the metrics stage reports
     // cluster-shape statistics instead of a meaningless empty-label P/R/F1.
+    // NOTE: PageGen.labeledPairs enumerates whole brand blocks (10 brands),
+    // an O(pages²/brands) oracle meant for validation-scale runs (the
+    // label set must be exhaustive within blocks for recall to be
+    // trustworthy). At corpus scale pass --input: real corpora have no
+    // planted labels anyway, and the shape path below stays linear.
     val metrics = Snapshots.getOrCompute(spark, workRoot, "metrics") {
       if (inputPath.isEmpty) {
         val labels = PageGen.labeledPairs(spark, nEntities, seed)
