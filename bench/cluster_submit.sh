@@ -23,6 +23,16 @@ MASTER_URL="spark://127.0.0.1:$MASTER_PORT"
 JAR="target/scala-2.13/entity_matching_datasetsspark_2.13-0.1.0.jar"
 [ -f "$JAR" ] || { echo "build the jar first: sbt package" >&2; exit 1; }
 
+# Refuse to run against stale daemons: an orphaned master keeps port 7077
+# while a new one silently binds 7078, so workers/driver join the WRONG
+# master and stale executors inflate the level (observed: a "1-worker"
+# level running on 20 cores, cpu_util 1.9).
+if pgrep -f "^(java|taskset).*org.apache.spark.deploy" >/dev/null; then
+  echo "stale Spark master/worker daemons running — kill them first:" >&2
+  pgrep -af "^(java|taskset).*org.apache.spark.deploy" >&2
+  exit 1
+fi
+
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \

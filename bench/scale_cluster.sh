@@ -51,6 +51,17 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
+# Refuse to run against stale daemons: an orphaned master keeps port 7077
+# while this script's new master silently binds 7078 (spark.port.maxRetries),
+# so the workers and driver join the STALE master and its leftover executors
+# inflate a level (observed: a "1-worker" level running on 20 cores,
+# cpu_util 1.9 — the row is garbage and looks like superlinear scaling).
+if pgrep -f "^(java|taskset).*org.apache.spark.deploy" >/dev/null; then
+  echo "stale Spark master/worker daemons running — kill them first:" >&2
+  pgrep -af "^(java|taskset).*org.apache.spark.deploy" >&2
+  exit 1
+fi
+
 mkdir -p /dev/shm/spark-local /tmp/spark-cluster
 PIDS=()
 

@@ -132,7 +132,8 @@ object ScaleBench {
   private def session(cpus: Int) = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.shuffle.partitions", (cpus *
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "2").toInt).toString)
       .config("spark.sql.adaptive.enabled", "true")
       // Measurement hygiene for the standalone-cluster path (no-ops under
       // local[n]): start only once every executor is registered (else the
