@@ -400,8 +400,12 @@ object SparkEntry {
         docs.where(pmod($"doc_id", lit(7)) === 2)
           .select(($"doc_id" + 1000000L).as("doc_id"),
             concat($"text", lit(" freshcrawl")).as("text")), tag = dir)
+      // materialize the index once, as a production pipeline would (it is
+      // the persisted artifact next to the corpus): the hot-block cap's
+      // eager size probe and the band join would otherwise each re-run
+      // the band-key UDF over the whole corpus
       val index = Dedup.minhashBandIndex(docs, $"doc_id", $"text",
-        bands = 8, rowsPerBand = 4)
+        bands = 8, rowsPerBand = 4).localCheckpoint()
       Dedup.incrementalMinhashPairs(inc, $"doc_id", $"text", index,
         docs, $"doc_id", $"text", bands = 8, rowsPerBand = 4,
         jaccardFloor = 0.8)

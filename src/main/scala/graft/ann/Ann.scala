@@ -15,12 +15,38 @@ import graft.score.Similarity
  */
 object Ann {
 
-  /** Cosine similarity with both sides cast to double (deterministic
-    * sequential fold via `aggregate`). */
-  def cosine(a: Column, b: Column): Column =
-    Similarity.vecCosine(
-      transform(a, x => x.cast(DoubleType)),
-      transform(b, x => x.cast(DoubleType)))
+  /** Cosine similarity of two float-vector columns as ONE compact JVM
+    * function — bit-identical to the previous higher-order-expression
+    * formulation (`Similarity.vecCosine` over double-cast arrays): the
+    * same left-fold order (acc += a(i)·b(i) ascending from 0.0), the same
+    * `sqrt(dot(a,a))·sqrt(dot(b,b))` denominator, the same `denom == 0 →
+    * 0.0` guard, null on null/length-mismatched input (what zip_with's
+    * null padding collapsed to).
+    *
+    * WHY: Catalyst evaluates `aggregate`/`zip_with`/`transform` lambdas
+    * interpreted (CodegenFallback), allocating per element — and the old
+    * CASE expression re-evaluated the two norm folds twice (condition +
+    * else branch): five interpreted O(dim) folds per row. Measured on the
+    * sf0.1 bench: emb_ann_topk 1.23 s → the scan's per-row cost dominated
+    * everything else. One JVM loop does the identical arithmetic in
+    * primitive registers. */
+  private val cosineFloatUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    (if (a == null || b == null || a.length != b.length) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    }): java.lang.Double
+  }
+
+  /** Float-vector cosine (array<float> columns; other numeric array types
+    * are analyzer-cast to float — pass float vectors, which every caller
+    * in this codebase does). */
+  def cosine(a: Column, b: Column): Column = cosineFloatUdf(a, b)
 
   /** Brute-force top-k neighbors for the first `nQueries` vec_ids.
     * Query side is tiny → broadcast; corpus side never shuffles until the
@@ -48,12 +74,6 @@ object Ann {
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
   }
-
-  /** Deterministic ±1 hyperplane, materialized ONCE as an array literal
-    * (the previous formulation recomputed bits×dim hash calls per row). */
-  private def planeLit(bit: Int, dim: Int): Column =
-    typedLit((0 until dim).map(j =>
-      if ((mix64(bit.toLong * 1000003L + j) & 1L) == 0L) 1.0d else -1.0d).toArray)
 
   // ---------------- IVF (inverted-file) ANN --------------------------------
 
@@ -110,15 +130,29 @@ object Ann {
     * is spec-pinned assignment-identical to `nearestList`. */
   def kmeansAssign(emb: DataFrame, centroids: Array[Array[Double]])
       : DataFrame = {
-    val dots = centroids.map { c =>
-      round(aggregate(
-        zip_with(col("embedding"), lit(c), (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, x) => acc + x), 6)
+    // One JVM function instead of nlist interpreted aggregate/zip_with
+    // trees per row (CodegenFallback — see cosineFloatUdf). Bit-identical
+    // to the declarative formulation: same per-centroid left-fold dot,
+    // each dot rounded exactly as Spark's Round on DoubleType does
+    // (java.math.BigDecimal.valueOf(d).setScale(6, HALF_UP)), first-max
+    // tie-break replicating array_position(arr, array_max(arr)).
+    val assignUdf = udf { (v: Seq[Float]) =>
+      var bestIdx = 0L; var bestVal = Double.NegativeInfinity
+      var l = 0
+      while (l < centroids.length) {
+        val c = centroids(l)
+        var acc = 0.0; var i = 0
+        val n = math.min(c.length, v.length)
+        while (i < n) { acc += v(i).toDouble * c(i); i += 1 }
+        val r = java.math.BigDecimal.valueOf(acc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (r > bestVal) { bestVal = r; bestIdx = l }
+        l += 1
+      }
+      (bestIdx, bestVal)
     }
-    val arr = array(dots.toSeq: _*)
-    emb.select(col("vec_id"),
-      (array_position(arr, array_max(arr)) - 1).as("topic"),
-      array_max(arr).as("dot"))
+    emb.select(col("vec_id"), assignUdf(col("embedding")).as("a"))
+      .select(col("vec_id"), col("a._1").as("topic"), col("a._2").as("dot"))
   }
 
   /** Nearest-centroid assignment as a compact per-row JVM function over
@@ -211,13 +245,30 @@ object Ann {
     * with deterministic ±1 hyperplanes baked in as literals — per-row work
     * is exactly bits×dim multiply-adds, fully codegen'd, no stored model. */
   def rhpSignature(emb: Column, bits: Int, dim: Int): Column = {
-    val sigBits = (0 until bits).map { b =>
-      val dot = aggregate(
-        zip_with(emb, planeLit(b, dim), (x, w) => x.cast(DoubleType) * w),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    // One JVM function instead of bits interpreted aggregate/zip_with
+    // trees (CodegenFallback; plan size also grew with bits×dim literal
+    // arrays). Bit-identical: same ±1 planes (mix64 stream), same
+    // ascending left-fold from 0.0 per bit, same strict `dot > 0` sign
+    // test; null/length-mismatched input yields 0L (what the null-padded
+    // zip_with fold collapsed every bit to).
+    val planes = Array.tabulate(bits, dim)((b, j) =>
+      if ((mix64(b.toLong * 1000003L + j) & 1L) == 0L) 1.0d else -1.0d)
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null || v.length != dim) 0L
+      else {
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          val p = planes(b)
+          var acc = 0.0; var j = 0
+          while (j < dim) { acc += v(j).toDouble * p(j); j += 1 }
+          if (acc > 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
     }
-    sigBits.reduce((a: Column, b: Column) => a + b)
+    f(emb)
   }
 
   /** Embedding dimensionality probed from the first row (one tiny job);

@@ -128,19 +128,41 @@ object Blocking {
     * bounds per-block pair cost at ~cap² without silent row drops —
     * returns (rekeyed, splitStats(block_key, n_total, n_subblocks)). */
   def splitOversizedBlocks(df: DataFrame, keyCol: String, groupCol: String,
-      cap: Int): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(keyCol))
-    val sized = df.withColumn("_bn", count(lit(1)).over(w))
-    val rekeyed = sized
-      .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
-      .withColumn(keyCol,
-        when(col("_k") <= 1, col(keyCol))
-          .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
-      .drop("_bn", "_k")
-    val stats = sized.where(col("_bn") > cap)
-      .groupBy(col(keyCol)).agg(
-        max(col("_bn")).as("n_total"),
-        ceil(max(col("_bn")).cast("double") / cap).cast("long").as("n_subblocks"))
+      cap: Int, maxHotKeysBroadcast: Int = 1000000): (DataFrame, DataFrame) = {
+    // Skew-aware plan (same hot/cold discipline as capBlocks/TopK): the
+    // previous count-over-window formulation shuffled AND sorted the
+    // ENTIRE blocked table just to learn per-block sizes, even though
+    // splitting only ever bites the over-cap blocks. Block sizes are a
+    // slim partial aggregation; the (usually tiny, often empty) over-cap
+    // key set is counted eagerly and BROADCAST back, so the blocked table
+    // itself never exchanges here — its only shuffle stays the candidate
+    // join downstream. Null-safe `<=>`: a null block key is a group too.
+    // Unbounded over-cap key sets (boilerplate corpora) fall back to the
+    // windowed plan rather than collecting an unbounded broadcast.
+    val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_bn"))
+    val hot = sizes.where(col("_bn") > cap)
+    val stats = hot.select(col(keyCol), col("_bn").as("n_total"),
+      ceil(col("_bn").cast("double") / cap).cast("long").as("n_subblocks"))
+    val nHot = hot.limit(maxHotKeysBroadcast + 1).count()
+    val rekeyed =
+      if (nHot == 0L) df
+      else if (nHot <= maxHotKeysBroadcast) {
+        df.join(broadcast(hot.select(col(keyCol).as("_hk"), col("_bn"))),
+            col(keyCol) <=> col("_hk"), "left")
+          .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
+          .withColumn(keyCol,
+            when(col("_k").isNull || col("_k") <= 1, col(keyCol))
+              .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
+          .drop("_hk", "_bn", "_k")
+      } else {
+        val w = Window.partitionBy(col(keyCol))
+        df.withColumn("_bn", count(lit(1)).over(w))
+          .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
+          .withColumn(keyCol,
+            when(col("_k") <= 1, col(keyCol))
+              .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
+          .drop("_bn", "_k")
+      }
     (rekeyed, stats)
   }
 

@@ -34,9 +34,24 @@ object ConnectedComponents {
     *   NOT fault-tolerant — production runs (PipelineApp) pass
     *   `_.checkpoint()` so round state lands on reliable storage and a lost
     *   executor replays from the checkpoint, not from the whole lineage.
+    * @param driverUnionFindMaxEdges adaptive small-graph cutoff: when the
+    *   DEDUPED edge set (counted for free by the first round's observe
+    *   checksum) fits under this bound, the closure is computed by a
+    *   driver-side union-find over the collected edges instead of the
+    *   O(log n) alternating-star rounds — the same size-adaptive
+    *   discipline as a broadcast join (the edge set is bounded like a
+    *   broadcast relation: 1M edges ≈ tens of MB transient). Near-dup CC
+    *   inputs are pair tables that are routinely orders of magnitude
+    *   smaller than the corpus, so this removes every per-round shuffle +
+    *   materialization in the common case while the distributed path runs
+    *   unchanged beyond the bound. Labeling is identical by construction
+    *   (min id per component; union always roots the smaller id, spec-
+    *   pinned against the distributed path). Set to 0 to force the
+    *   distributed path.
     * @return DataFrame(id LONG, component LONG), one row per distinct node. */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
-      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      persist: DataFrame => DataFrame = _.localCheckpoint(),
+      driverUnionFindMaxEdges: Long = 1000000L): DataFrame = {
     import spark.implicits._
     val base = edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -82,6 +97,13 @@ object ConnectedComponents {
 
     // edge set invariant between rounds: canonical (hi > lo) pairs
     var (cur, curSum) = persistWithChecksum(base.select($"hi".as("u"), $"lo".as("v")))
+
+    // Small-graph fast path: the deduped edge count came for free with the
+    // first checksum; under the cutoff, collect the (already materialized)
+    // edges and close them on the driver — zero further jobs, and the
+    // result is a LocalRelation the final assignment join can broadcast.
+    if (curSum._1 <= driverUnionFindMaxEdges) return unionFindLocal(spark, cur)
+
     val nodes = cur.select($"u".as("id"))
       .union(cur.select($"v".as("id"))).distinct()
     var converged = false
@@ -129,5 +151,42 @@ object ConnectedComponents {
     val assign = cur.select($"u".as("id"), $"v".as("component"))
     nodes.join(assign, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))
+  }
+
+  /** Driver-side transitive closure of a collected canonical edge set:
+    * union-find with the min-id root kept on every union, so the final
+    * root of each tree is the component minimum — the exact labeling the
+    * distributed alternating-star path converges to. Output schema
+    * mirrors the distributed path (id/component LONG, nullable). */
+  private def unionFindLocal(spark: SparkSession, edges: DataFrame)
+      : DataFrame = {
+    val rows = edges.collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var c = x
+      while (c != root && parent.getOrElse(c, c) != root) {
+        val nxt = parent(c); parent(c) = root; c = nxt
+      }
+      root
+    }
+    rows.foreach { r =>
+      val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+      if (ra != rb) {
+        val lo = math.min(ra, rb); val hi = math.max(ra, rb)
+        parent(hi) = lo
+      }
+    }
+    val nodeIds = new java.util.TreeSet[java.lang.Long]()
+    rows.foreach { r => nodeIds.add(r.getLong(0)); nodeIds.add(r.getLong(1)) }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodeIds.size)
+    nodeIds.forEach(id => out.add(
+      org.apache.spark.sql.Row(id.longValue, find(id.longValue))))
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType))))
   }
 }

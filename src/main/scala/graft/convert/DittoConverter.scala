@@ -91,7 +91,11 @@ object DittoConverter {
     // O1: dense sequential id in input order (per-partition offsets — no
     // global window; see graft.ops.Ids)
     val withId = ordCol match {
-      case Some(oc) => graft.ops.Ids.denseIdByOrder(labeled, Seq(col(oc)), "id")
+      // labeled = narrow filters over the persisted parse — skip the
+      // second materialization inside denseIdByOrder (its 3 consumers
+      // re-run only those cheap filters against the persisted frame)
+      case Some(oc) => graft.ops.Ids.denseIdByOrder(labeled, Seq(col(oc)), "id",
+        materialize = false)
       case None     => graft.ops.Ids.denseIdByMono(labeled, "_ord", "id")
     }
 

@@ -38,21 +38,63 @@ object Dedup {
   def shingles(textCol: Column, n: Int = 3): Column =
     GraftFunctions.charShingles(textCol, n)
 
+  private val shingleNonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  private val shingleSpace = java.util.regex.Pattern.compile(" ")
+
   /** Broder-style w-shingling: distinct word n-grams of the lowercased
-    * text. Discriminative at document scale; pure built-ins.
+    * text, as ONE compact JVM function per row.
     *
-    * PERF: tokenization is hoisted into a lambda binding (`transform` over
-    * a 1-element array) so the split/regex chain evaluates ONCE per row.
-    * Inlining `tokens(textCol)` at each `element_at` made Catalyst
-    * re-evaluate the full tokenizer per shingle element — measured 24s vs
-    * <2s for 5k docs. */
+    * PERF (guide §1.2 step 2): the previous pure-expression formulation
+    * (transform/sequence/element_at/concat_ws lambdas) is evaluated
+    * INTERPRETED by Catalyst (higher-order functions are CodegenFallback),
+    * allocating per shingle element — it dominated the per-row cost of
+    * every minhash scan. This UDF replays the identical chain in one JVM
+    * loop: the tokenizer twin of GraftFunctions.tokens (Spark Lower via
+    * UTF8String.toLowerCase, regexp_replace "[^a-z0-9]+"→" ", split on
+    * " ", drop empties — each step the same library call Spark's native
+    * expressions make), then sliding w-grams joined by " ", first-
+    * occurrence dedup (array_distinct semantics). Output arrays are
+    * element-identical on every input the old chain could evaluate
+    * (shingle-parity spec); inputs with fewer than w tokens made the old
+    * chain throw under ANSI (sequence(1,0) descends into element_at(·,0))
+    * — they now yield the natural truncated shingle. */
   def wordShingles(textCol: Column, w: Int = 3): Column = {
-    val shingled = transform(array(GraftFunctions.tokens(textCol)), toks => {
-      val count = greatest(size(toks) - lit(w - 1), lit(0))
-      transform(sequence(lit(1), count), i =>
-        concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))
-    })
-    array_distinct(element_at(shingled, 1))
+    val f = udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else {
+        val lowered = org.apache.spark.unsafe.types.UTF8String
+          .fromString(s).toLowerCase.toString
+        val parts = shingleSpace.split(
+          shingleNonAlnum.matcher(lowered).replaceAll(" "), -1)
+        var nTok = 0
+        val toks = new Array[String](parts.length)
+        var i = 0
+        while (i < parts.length) {
+          if (parts(i).nonEmpty) { toks(nTok) = parts(i); nTok += 1 }
+          i += 1
+        }
+        if (nTok == 0) Array.empty[String]
+        else {
+          val out = new java.util.LinkedHashSet[String]()
+          val last = math.max(nTok - w, 0)
+          var start = 0
+          while (start <= last) {
+            val sb = new java.lang.StringBuilder()
+            var j = start
+            val end = math.min(start + w, nTok)
+            while (j < end) {
+              if (j > start) sb.append(' ')
+              sb.append(toks(j))
+              j += 1
+            }
+            out.add(sb.toString)
+            start += 1
+          }
+          out.toArray(new Array[String](out.size))
+        }
+      }
+    }
+    f(textCol)
   }
 
   /** MinHash-LSH near-duplicate pairs + block-split stats, verified by
@@ -65,14 +107,25 @@ object Dedup {
     * Oversized bands are SPLIT (grouped by exact shingle fingerprint, so
     * exact-duplicate recall is preserved), never row-capped — no silent
     * drops; the split stats table is returned alongside the pairs. */
+  /** @param persist materializer for the two frames more than one
+    *   downstream arm consumes: the shingled base (verify joins on both
+    *   pair sides) and the slim banded table (size aggregation + both
+    *   candidate-join sides). Without it, the tokenize/shingle chain and
+    *   the band-key UDF are re-evaluated once per consumer (measured 3×
+    *   on the bench corpus). Default `localCheckpoint` is the fast
+    *   memory-pinned variant for tests/benchmarks; production corpora
+    *   pass a reliable materializer (`_.checkpoint()` / Snapshots) —
+    *   same contract as ERPipeline.run(persist). */
   def minhashPairsWithStats(docs: DataFrame, idCol: Column, textCol: Column,
       bands: Int, rowsPerBand: Int, jaccardFloor: Double,
-      blockCap: Int = 500): (DataFrame, DataFrame) = {
-    val base = docs.select(idCol.as("id"), wordShingles(textCol).as("sh"))
-      .withColumn("fp", Blocking.tokenFingerprint(col("sh")))
-    val blocked = Blocking.minhashBlocks(
+      blockCap: Int = 500,
+      persist: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame) = {
+    val base = persist(docs.select(idCol.as("id"), wordShingles(textCol).as("sh"))
+      .withColumn("fp", Blocking.tokenFingerprint(col("sh"))))
+    val blocked = persist(Blocking.minhashBlocks(
       base.select(col("id"), col("fp"), col("sh").as("tokens")), col("tokens"),
-      bands, rowsPerBand).select("block_key", "id", "fp")
+      bands, rowsPerBand).select("block_key", "id", "fp"))
     val (split, stats) =
       Blocking.splitOversizedBlocks(blocked, "block_key", "fp", blockCap)
     val idPairs = Blocking.candidatePairs(split, "block_key", "id", Nil)
@@ -91,9 +144,10 @@ object Dedup {
     * so discarding the stats table loses information, not data). */
   def minhashPairs(docs: DataFrame, idCol: Column, textCol: Column,
       bands: Int, rowsPerBand: Int, jaccardFloor: Double,
-      blockCap: Int = 500): DataFrame =
+      blockCap: Int = 500,
+      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
     minhashPairsWithStats(docs, idCol, textCol, bands, rowsPerBand,
-      jaccardFloor, blockCap)._1
+      jaccardFloor, blockCap, persist)._1
 
   /** Corpus-side MinHash band index: one slim (block_key, id) row per
     * band per document. This is the artifact an INCREMENTAL pipeline

@@ -190,8 +190,15 @@ object ERPipeline {
     * Carrying payloads through the join+dedup would shuffle ~30× more
     * bytes (measured the difference at 180k pages). */
   def scorePairs(extracted: DataFrame, blocked: DataFrame, cfg: Config,
-      nRows: Option[Long] = None): (DataFrame, DataFrame) = {
-    val slim = blocked.select(col("block_key"), col("id"), col("token_fp"))
+      nRows: Option[Long] = None,
+      persist: DataFrame => DataFrame = _.localCheckpoint())
+      : (DataFrame, DataFrame) = {
+    // Materialize the slim banded table once: three arms consume it (the
+    // oversized-block size aggregation + both candidate-join sides), and
+    // each would otherwise re-run the band-key UDF over the corpus. 24-
+    // byte rows — cheap to pin, same persist contract as run().
+    val slim = persist(
+      blocked.select(col("block_key"), col("id"), col("token_fp")))
     val (capped, drops) = Blocking.splitOversizedBlocks(slim, "block_key",
       "token_fp", cfg.pairCapPerBlock)
     val idPairs = Blocking.candidatePairs(capped, "block_key", "id", Nil)
@@ -242,16 +249,19 @@ object ERPipeline {
     // extract feeds blocking, payload attachment and the final assignment
     // join — materialize once
     val ex = persist(extract(pages))
-    val n = Some(ex.count())
-    if (cfg.checkIdCollisions) {
-      val r = ex.agg(countDistinct(col("url")), countDistinct(col("id")))
-        .collect()(0)
-      require(r.getLong(0) == r.getLong(1),
-        s"xxhash64(url) id collision: ${r.getLong(0)} urls → ${r.getLong(1)} ids; " +
+    // one aggregate job yields the row count AND the collision check
+    // (separate count() + countDistinct jobs doubled the driver round-
+    // trips for scalars over the same materialized frame)
+    val n = Some(if (cfg.checkIdCollisions) {
+      val r = ex.agg(count(lit(1)),
+        countDistinct(col("url")), countDistinct(col("id"))).collect()(0)
+      require(r.getLong(1) == r.getLong(2),
+        s"xxhash64(url) id collision: ${r.getLong(1)} urls → ${r.getLong(2)} ids; " +
           "switch to a wider id before trusting cluster output")
-    }
+      r.getLong(0)
+    } else ex.count())
     val blocked = block(ex, cfg, n)
-    val (scored, drops) = scorePairs(ex, blocked, cfg, n)
+    val (scored, drops) = scorePairs(ex, blocked, cfg, n, persist)
     val comps = cluster(spark, scored, cfg, persist)
     // Materialize the assignment (one narrow row per url): downstream
     // consumers (evaluation joins, metrics) would otherwise re-execute the

@@ -50,8 +50,11 @@ object Bm25 {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    // qpost is grouped on (doc_id, term, dl) with dl functionally
+    // dependent on doc_id, so rows are unique per (doc_id, term): a plain
+    // count IS the distinct-document frequency — no countDistinct expand
     val dft = qpost.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("dft"))
+      .agg(count(lit(1)).as("dft"))
 
     val sterm = qpost
       .join(broadcast(dft), Seq("term"))

@@ -45,11 +45,44 @@ object Decontaminate {
         .otherwise(array().cast(ArrayType(StringType)))), 1)
   }
 
+  /** DISTINCT space-joined n-grams of a token array as one compact JVM
+    * function. Same gram strings as
+    * `array_distinct(wordNgrams(toks, n))`: sliding windows of n tokens
+    * mkString(" ") (toks carry no nulls — the tokenizer filters empties),
+    * first-occurrence dedup. WHY: Catalyst evaluates the nested
+    * transform/slice/array_join lambdas interpreted (CodegenFallback),
+    * allocating per gram element — the dominant per-row cost of the
+    * decontamination scan (guide §1.2 step 2). `wordNgrams` stays the
+    * declarative primitive for composition inside other lambdas
+    * (Repetition.signals binds it to a lambda variable, where a UDF
+    * cannot be applied). */
+  private def distinctGramsUdf(n: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length < n) Array.empty[String]
+    else {
+      val out = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val last = toks.length - n
+      val arr = toks.toArray
+      while (i <= last) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+      out.toArray(new Array[String](out.size))
+    }
+  }
+
   /** Distinct n-grams per doc as (doc_id, ngram) rows. */
   private def docGrams(df: DataFrame, docId: Column, text: Column,
       n: Int): DataFrame =
     df.select(docId.as("doc_id"),
-      explode(array_distinct(wordNgrams(GraftFunctions.tokens(text), n)))
+      explode(distinctGramsUdf(n)(GraftFunctions.tokens(text)))
         .as("ngram"))
 
   /** Flagged training docs: (doc_id, n_overlap) where n_overlap counts

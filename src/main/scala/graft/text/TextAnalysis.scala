@@ -199,14 +199,21 @@ object TextAnalysis {
       winnowFingerprints(textCol, k, w).as("fps"))
       .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
         explode(col("fps")).as("fp"))
-    // document-frequency trim of boilerplate postings (two scale-free
-    // aggregates: fp-df groupBy + semi-join back)
-    val dfs = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val keepFp = dfs
-      .where(col("df") <= maxPostings && col("df") >= 2)
-      .select(col("fp"))
-    val dropped = dfs.where(col("df") > maxPostings)
-    val post = fps.join(keepFp, Seq("fp"))
+    // document-frequency trim of boilerplate postings in ONE pass: the
+    // previous groupBy-df + semi-join-back shape evaluated the winnowing
+    // UDF twice (df aggregation + join probe side) and shuffled the
+    // postings twice; a count-over-window computes df on the same single
+    // hash(fp) exchange the pair self-join below then REUSES (both join
+    // sides read the window output, already partitioned and sorted by
+    // fp) — one exchange end-to-end before the pair aggregation.
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val post = fps.withColumn("_df", count(lit(1)).over(win))
+      .where(col("_df") <= maxPostings && col("_df") >= 2)
+      .drop("_df")
+    // drop stats stay a separate slim-aggregate lineage (diagnostic arm,
+    // only evaluated when a caller consumes it)
+    val dropped = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPostings)
     val l = post.select(col("fp"), col("doc_id").as("l_id"), col("n_fp").as("l_n"))
     val r = post.select(col("fp"), col("doc_id").as("r_id"), col("n_fp").as("r_n"))
     val pairs = l.join(r, Seq("fp")).where(col("l_id") < col("r_id"))
