@@ -44,10 +44,20 @@ object SparkEntry {
   private val stageRoot = sys.env.getOrElse("SPARK_GRAFT_STAGE_ROOT",
     "/root/repo/target/oracle_stage")
 
+  /** @param singleFile write one parquet file instead of one near-empty
+    *   file per partition (guide §6 — small files cost commit/listing
+    *   time per write and open overhead per read-back). Default true for
+    *   the direct callers: those are the tiny relations re-staged on
+    *   EVERY run (er_clusters_out / er_f1_clusters / ivf_probe_cands), so
+    *   the write cost sits inside the benched minimum. stageOnce corpus
+    *   fixtures pass false — they are written once per JVM but RE-READ by
+    *   every rep, and collapsing them to one file would serialize the
+    *   downstream per-doc scans into a single task. */
   private def stageAndRead(spark: SparkSession, name: String, df: DataFrame,
-      tag: String = ""): DataFrame = {
+      tag: String = "", singleFile: Boolean = true): DataFrame = {
     val path = s"$stageRoot/$name"
-    df.write.mode("overwrite").parquet(path)
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").parquet(path)
     stagedThisJvm.put(name, tag)
     spark.read.parquet(path)
   }
@@ -71,7 +81,7 @@ object SparkEntry {
     if (stagedThisJvm.get(name) == tag &&
         new java.io.File(s"$path/_SUCCESS").exists())
       spark.read.parquet(path)
-    else stageAndRead(spark, name, df, tag)
+    else stageAndRead(spark, name, df, tag, singleFile = false)
   }
 
   /** Train/eval decontamination fixture, shared by doc_decontaminate and
@@ -306,7 +316,13 @@ object SparkEntry {
       val near = exact.join(keep, Seq("doc_id"))
       val flagged = graft.text.Decontaminate.flagged(near, $"doc_id",
         $"clean_text", eval, $"text", n = 8)
+      // Materialize the decontaminated survivors once: the mixture stage
+      // consumes them twice (per-domain totals aggregation + the keep-
+      // rate join), and each arm would otherwise re-run the decon gram
+      // scan buried in this lineage. Same stage boundary CurationApp
+      // snapshots.
       val dec = near.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val mixed = graft.ops.Mixture.tokenBudgetSample(dec, $"source",
         $"doc_id", $"n_chars",
         Seq("src0" -> 0.45, "src1" -> 0.25, "src2" -> 0.3), budget = 10000L)

@@ -38,9 +38,6 @@ object Dedup {
   def shingles(textCol: Column, n: Int = 3): Column =
     GraftFunctions.charShingles(textCol, n)
 
-  private val shingleNonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
-  private val shingleSpace = java.util.regex.Pattern.compile(" ")
-
   /** Broder-style w-shingling: distinct word n-grams of the lowercased
     * text, as ONE compact JVM function per row.
     *
@@ -49,10 +46,9 @@ object Dedup {
     * INTERPRETED by Catalyst (higher-order functions are CodegenFallback),
     * allocating per shingle element — it dominated the per-row cost of
     * every minhash scan. This UDF replays the identical chain in one JVM
-    * loop: the tokenizer twin of GraftFunctions.tokens (Spark Lower via
-    * UTF8String.toLowerCase, regexp_replace "[^a-z0-9]+"→" ", split on
-    * " ", drop empties — each step the same library call Spark's native
-    * expressions make), then sliding w-grams joined by " ", first-
+    * loop: the tokenizer twin (GraftFunctions.tokensJvm — each step the
+    * same library call Spark's native expressions make; parity-spec'd),
+    * then sliding w-grams joined by " ", first-
     * occurrence dedup (array_distinct semantics). Output arrays are
     * element-identical on every input the old chain could evaluate
     * (shingle-parity spec); inputs with fewer than w tokens made the old
@@ -60,38 +56,26 @@ object Dedup {
     * — they now yield the natural truncated shingle. */
   def wordShingles(textCol: Column, w: Int = 3): Column = {
     val f = udf { (s: String) =>
-      if (s == null) Array.empty[String]
+      val toks = GraftFunctions.tokensJvm(s)
+      if (toks == null || toks.length == 0) Array.empty[String]
       else {
-        val lowered = org.apache.spark.unsafe.types.UTF8String
-          .fromString(s).toLowerCase.toString
-        val parts = shingleSpace.split(
-          shingleNonAlnum.matcher(lowered).replaceAll(" "), -1)
-        var nTok = 0
-        val toks = new Array[String](parts.length)
-        var i = 0
-        while (i < parts.length) {
-          if (parts(i).nonEmpty) { toks(nTok) = parts(i); nTok += 1 }
-          i += 1
-        }
-        if (nTok == 0) Array.empty[String]
-        else {
-          val out = new java.util.LinkedHashSet[String]()
-          val last = math.max(nTok - w, 0)
-          var start = 0
-          while (start <= last) {
-            val sb = new java.lang.StringBuilder()
-            var j = start
-            val end = math.min(start + w, nTok)
-            while (j < end) {
-              if (j > start) sb.append(' ')
-              sb.append(toks(j))
-              j += 1
-            }
-            out.add(sb.toString)
-            start += 1
+        val nTok = toks.length
+        val out = new java.util.LinkedHashSet[String]()
+        val last = math.max(nTok - w, 0)
+        var start = 0
+        while (start <= last) {
+          val sb = new java.lang.StringBuilder()
+          var j = start
+          val end = math.min(start + w, nTok)
+          while (j < end) {
+            if (j > start) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
           }
-          out.toArray(new Array[String](out.size))
+          out.add(sb.toString)
+          start += 1
         }
+        out.toArray(new Array[String](out.size))
       }
     }
     f(textCol)

@@ -172,6 +172,36 @@ object GraftFunctions {
     filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
       t => t =!= "")
 
+  private val tokNonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  private val tokSpace = java.util.regex.Pattern.compile(" ")
+
+  /** JVM twin of [[tokens]] — element-identical token arrays (parity
+    * spec TokenizerParitySpec): Spark's Lower via UTF8String.toLowerCase,
+    * the same Java-regex replace and split, empties removed. For hot
+    * scans: the declarative `tokens` chain ends in a `filter` lambda,
+    * which Catalyst evaluates interpreted (CodegenFallback), so paths
+    * that tokenize the whole corpus (BM25 postings, decontamination
+    * grams, shingling) use this instead. Null input → null, matching the
+    * null-propagating column chain. */
+  def tokensJvm(s: String): Array[String] = {
+    if (s == null) null
+    else {
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s).toLowerCase.toString
+      val parts = tokSpace.split(tokNonAlnum.matcher(lowered).replaceAll(" "), -1)
+      var n = 0
+      val out = new Array[String](parts.length)
+      var i = 0
+      while (i < parts.length) {
+        if (parts(i).nonEmpty) { out(n) = parts(i); n += 1 }
+        i += 1
+      }
+      if (n == parts.length) out else java.util.Arrays.copyOf(out, n)
+    }
+  }
+
+  val tokensUdf = udf(tokensJvm _)
+
   /** Character n-gram shingles of the lowercased, ws-normalized string.
     * The normalized string is bound once via a lambda variable so the
     * regex chain isn't re-evaluated per shingle (see Dedup.wordShingles). */

@@ -45,9 +45,10 @@ object Decontaminate {
         .otherwise(array().cast(ArrayType(StringType)))), 1)
   }
 
-  /** DISTINCT space-joined n-grams of a token array as one compact JVM
-    * function. Same gram strings as
-    * `array_distinct(wordNgrams(toks, n))`: sliding windows of n tokens
+  /** DISTINCT space-joined n-grams of the tokenized text as one compact
+    * JVM function. Same gram strings as
+    * `array_distinct(wordNgrams(tokens(text), n))`: the tokenizer twin
+    * (GraftFunctions.tokensJvm), then sliding windows of n tokens
     * mkString(" ") (toks carry no nulls — the tokenizer filters empties),
     * first-occurrence dedup. WHY: Catalyst evaluates the nested
     * transform/slice/array_join lambdas interpreted (CodegenFallback),
@@ -56,13 +57,13 @@ object Decontaminate {
     * declarative primitive for composition inside other lambdas
     * (Repetition.signals binds it to a lambda variable, where a UDF
     * cannot be applied). */
-  private def distinctGramsUdf(n: Int) = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.length < n) Array.empty[String]
+  private def distinctGramsUdf(n: Int) = udf { (s: String) =>
+    val arr = GraftFunctions.tokensJvm(s)
+    if (arr == null || arr.length < n) Array.empty[String]
     else {
       val out = new java.util.LinkedHashSet[String]()
       var i = 0
-      val last = toks.length - n
-      val arr = toks.toArray
+      val last = arr.length - n
       while (i <= last) {
         val sb = new java.lang.StringBuilder()
         var j = 0
@@ -82,8 +83,7 @@ object Decontaminate {
   private def docGrams(df: DataFrame, docId: Column, text: Column,
       n: Int): DataFrame =
     df.select(docId.as("doc_id"),
-      explode(distinctGramsUdf(n)(GraftFunctions.tokens(text)))
-        .as("ngram"))
+      explode(distinctGramsUdf(n)(text)).as("ngram"))
 
   /** Flagged training docs: (doc_id, n_overlap) where n_overlap counts
     * DISTINCT n-grams shared with the eval set. Only contaminated docs
@@ -92,8 +92,7 @@ object Decontaminate {
   def flagged(train: DataFrame, docId: Column, text: Column,
       eval: DataFrame, evalText: Column, n: Int): DataFrame = {
     val evalGrams = eval
-      .select(explode(array_distinct(
-        wordNgrams(GraftFunctions.tokens(evalText), n))).as("ngram"))
+      .select(explode(distinctGramsUdf(n)(evalText)).as("ngram"))
       .distinct()
     docGrams(train, docId, text, n)
       .join(broadcast(evalGrams), "ngram")
@@ -110,8 +109,7 @@ object Decontaminate {
   def flaggedHashed(train: DataFrame, docId: Column, text: Column,
       eval: DataFrame, evalText: Column, n: Int): DataFrame = {
     val evalGrams = eval
-      .select(explode(array_distinct(
-        wordNgrams(GraftFunctions.tokens(evalText), n))).as("ngram"))
+      .select(explode(distinctGramsUdf(n)(evalText)).as("ngram"))
       .select(xxhash64(col("ngram")).as("gh"))
       .distinct()
     docGrams(train, docId, text, n)
