@@ -63,28 +63,49 @@ object Enrichment {
       }
     }
     val matched = col("label") === 1
-    val sideCols = cfg.fields.flatMap { f =>
+    // label-gated extra cleanup (the reference's prompt-A aggressiveness)
+    def full(side: String, f: String): Column = {
       val rule = cfg.rules.getOrElse(f, (c: Column) => cleanText(c))
-      // label-gated extra cleanup (the reference's prompt-A aggressiveness)
-      def full(side: String): Column = {
-        val n = rule(nullMarkers(inputCol(side, f)))
-        cfg.matchRules.get(f) match {
-          case Some(mr) => when(matched, mr(n)).otherwise(n)
-          case None => n
-        }
+      val n = rule(nullMarkers(inputCol(side, f)))
+      cfg.matchRules.get(f) match {
+        case Some(mr) => when(matched, mr(n)).otherwise(n)
+        case None => n
       }
-      def out(side: String): Column = {
-        val normalized = full(side)
-        val other = full(if (side == "left") "right" else "left")
-        val aligned =
-          if (!cfg.alignMatches) normalized
-          else {
-            // R14a: copy the other side's value when this side is missing
-            val copied =
-              if (cfg.noCopy(f)) normalized
-              else when(matched && normalized.isNull, other).otherwise(normalized)
-            // R14b: graft the other side's version/edition tokens when this
-            // side has none (no conflict possible) — matched pairs only
+    }
+    if (!cfg.alignMatches) {
+      val sideCols = cfg.fields.flatMap { f =>
+        Seq(renderOr(full("left", f), cfg.missing).as(s"left_$f"),
+          renderOr(full("right", f), cfg.missing).as(s"right_$f"))
+      }
+      df.select((col("id") +: col("label") +: sideCols): _*)
+    } else {
+      // TWO-STAGE projection for the aligned configs: alignment reads
+      // BOTH sides' normalized values in several places, and inlining
+      // the full rule chain at every reference (the previous shape) made
+      // one Project whose generated method blew past Janino's 64 KB
+      // limit — silently dropping the whole chain out of whole-stage
+      // codegen AND re-evaluating the ~20-regex normalization up to 4×
+      // per output column. Stage 1 names each side's normalized value
+      // once; stage 2 aligns over those attributes. CollapseProject
+      // keeps the stages apart (merging would duplicate non-cheap
+      // expressions), so each stage codegens comfortably.
+      val normCols = cfg.fields.flatMap { f =>
+        Seq(full("left", f).as(s"_n_left_$f"),
+          full("right", f).as(s"_n_right_$f"))
+      }
+      val staged = df.select((col("id") +: col("label") +: normCols): _*)
+      val sideCols = cfg.fields.flatMap { f =>
+        def out(side: String): Column = {
+          val normalized = col(s"_n_${side}_$f")
+          val other =
+            col(s"_n_${if (side == "left") "right" else "left"}_$f")
+          // R14a: copy the other side's value when this side is missing
+          val copied =
+            if (cfg.noCopy(f)) normalized
+            else when(matched && normalized.isNull, other).otherwise(normalized)
+          // R14b: graft the other side's version/edition tokens when this
+          // side has none (no conflict possible) — matched pairs only
+          val aligned =
             if (!cfg.versionAlign(f)) copied
             else {
               val vOther = Normalize.versionTokens(coalesce(other, lit("")))
@@ -94,12 +115,12 @@ object Enrichment {
                 concat_ws(" ", copied, array_join(vOther, " ")))
                 .otherwise(copied)
             }
-          }
-        renderOr(aligned, cfg.missing).as(s"${side}_$f")
+          renderOr(aligned, cfg.missing).as(s"${side}_$f")
+        }
+        Seq(out("left"), out("right"))
       }
-      Seq(out("left"), out("right"))
+      staged.select((col("id") +: col("label") +: sideCols): _*)
     }
-    df.select((col("id") +: col("label") +: sideCols): _*)
   }
 
   // ---------------- per-dataset configs (FIXTURES.md §4) -----------------

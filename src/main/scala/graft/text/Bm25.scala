@@ -35,11 +35,13 @@ object Bm25 {
     * @return (query_id, doc_id, score, rank) with rank 1..k per query. */
   def topK(docs: DataFrame, id: Column, text: Column, queries: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // JVM tokenizer twin (parity-spec'd): the declarative chain's filter
-    // lambda is interpreted per token, and this scan tokenizes the whole
-    // corpus twice (stats pass + postings pass)
+    // Deliberately the DECLARATIVE tokenizer: for bare tokenization the
+    // native split/filter chain operates on UTF8String in place, while a
+    // UDF pays String conversions both ways (measured slower). The JVM
+    // twin (GraftFunctions.tokensJvm) only wins where it FUSES more work
+    // per row — shingling, gram building.
     val toks = docs.select(id.as("doc_id"),
-      GraftFunctions.tokensUdf(text).as("toks"))
+      GraftFunctions.tokens(text).as("toks"))
     val withDl = toks.select(col("doc_id"), size(col("toks")).as("dl"),
       col("toks"))
     val stats = withDl.agg(count(lit(1)).as("n_docs"),

@@ -58,6 +58,30 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("distributed star rounds (cutoff forced off) match the small-graph path") {
+    // fixture graphs all sit under the adaptive driver-union-find cutoff,
+    // so the alternating-star implementation must keep its own coverage:
+    // force it with driverUnionFindMaxEdges = 0 and pin both paths equal
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (trial <- 1 to 2) {
+      val n = 150
+      val edges = ((1 to 250).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        // adversarial diameter: a chain segment
+        (500L until 540L).map(i => (i, i + 1)))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val distributed = ConnectedComponents.run(spark, df,
+          driverUnionFindMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      val small = ConnectedComponents.run(spark, df)
+        .as[(Long, Long)].collect().toMap
+      assert(distributed === small, s"trial $trial")
+      assert(distributed === unionFind(edges), s"trial $trial vs reference")
+    }
+  }
+
   test("self-loops and duplicate edges are harmless") {
     val cc = runCc(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)))
     assert(cc === Map(1L -> 1L, 2L -> 1L))
