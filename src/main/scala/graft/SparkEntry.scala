@@ -504,9 +504,9 @@ object SparkEntry {
     }),
     "emb_kmeans_topics" -> ((s, dir) => { implicit val sp = s; import s.implicits._
       // embedding-space topic bucketing: Lloyd-trained centroids (staged
-      // so the DuckDB twin reads the identical doubles) + declarative
-      // nearest-centroid assignment — rounded-dot argmax, ties to the
-      // smallest centroid id, zero shuffle over the corpus.
+      // so the DuckDB twin reads the identical doubles) + nearest-
+      // centroid assignment — rounded-dot argmax, ties to the smallest
+      // centroid id, zero shuffle over the corpus.
       val emb = t(dir, "embeddings")
       val cents = Ann.trainIvfCentroids(emb, nlist = 8, lloydIters = 2)
       stageOnce(s, "kmeans_centroids",

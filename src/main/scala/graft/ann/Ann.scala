@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.score.Similarity
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
@@ -30,14 +29,24 @@ object Ann {
     * sf0.1 bench: emb_ann_topk 1.23 s → the scan's per-row cost dominated
     * everything else. One JVM loop does the identical arithmetic in
     * primitive registers. */
-  private val cosineFloatUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    (if (a == null || b == null || a.length != b.length) null
-    else {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
+  private val cosineFloatUdf = udf { (a: Seq[java.lang.Float], b: Seq[java.lang.Float]) =>
+    var nullElem = a == null || b == null || a.length != b.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    if (!nullElem) {
+      var i = 0
+      while (i < a.length && !nullElem) {
+        val xb = a(i); val yb = b(i)
+        if (xb == null || yb == null) nullElem = true
+        else {
+          val x = xb.doubleValue; val y = yb.doubleValue
+          dot += x * y; na += x * x; nb += y * y
+        }
+        i += 1
       }
+    }
+    (if (nullElem) null   // null input / length mismatch / null element:
+                          // what the old null-padded zip_with fold gave
+    else {
       val denom = math.sqrt(na) * math.sqrt(nb)
       java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
     }): java.lang.Double
@@ -120,14 +129,13 @@ object Ann {
     * embedding-space stratification of a training corpus). Returns
     * (vec_id, topic, dot): nearest centroid by inner product rounded to
     * the 6-decimal cross-engine grid, ties to the SMALLEST centroid id
-    * (array_position finds the first max).
+    * (first max wins).
     *
-    * Shape: pure column expressions over the broadcast-sized centroid
-    * literals — a narrow, zero-shuffle projection; the corpus only gets
-    * scanned. For nlist beyond a few dozen, prefer `nearestList` (one JVM
-    * function instead of nlist expression trees — plan-size blowup, see
-    * note below); this declarative twin exists for the oracle path and
-    * is spec-pinned assignment-identical to `nearestList`. */
+    * Shape: one narrow, zero-shuffle JVM projection over the broadcast-
+    * sized centroid matrix; the corpus only gets scanned. Differs from
+    * `nearestList` in contract, not mechanics: this returns the oracle-
+    * grid (topic, dot) pair, nearestList just the raw-argmax list id —
+    * spec-pinned assignment-identical. */
   def kmeansAssign(emb: DataFrame, centroids: Array[Array[Double]])
       : DataFrame = {
     // One JVM function instead of nlist interpreted aggregate/zip_with
@@ -136,20 +144,27 @@ object Ann {
     // each dot rounded exactly as Spark's Round on DoubleType does
     // (java.math.BigDecimal.valueOf(d).setScale(6, HALF_UP)), first-max
     // tie-break replicating array_position(arr, array_max(arr)).
-    val assignUdf = udf { (v: Seq[Float]) =>
-      var bestIdx = 0L; var bestVal = Double.NegativeInfinity
-      var l = 0
-      while (l < centroids.length) {
-        val c = centroids(l)
-        var acc = 0.0; var i = 0
-        val n = math.min(c.length, v.length)
-        while (i < n) { acc += v(i).toDouble * c(i); i += 1 }
-        val r = java.math.BigDecimal.valueOf(acc)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (r > bestVal) { bestVal = r; bestIdx = l }
-        l += 1
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
+    val assignUdf = udf { (v: Seq[java.lang.Float]) =>
+      // null / length-mismatched / null-element vectors: the old
+      // zip_with chain nulled every dot, array_max over all-null gave a
+      // null topic and dot — return a null struct for the same rows
+      val bad = v == null || v.length != dim || v.exists(_ == null)
+      if (bad) null.asInstanceOf[(Long, Double)]
+      else {
+        var bestIdx = 0L; var bestVal = Double.NegativeInfinity
+        var l = 0
+        while (l < centroids.length) {
+          val c = centroids(l)
+          var acc = 0.0; var i = 0
+          while (i < dim) { acc += v(i).doubleValue * c(i); i += 1 }
+          val r = java.math.BigDecimal.valueOf(acc)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (r > bestVal) { bestVal = r; bestIdx = l }
+          l += 1
+        }
+        (bestIdx, bestVal)
       }
-      (bestIdx, bestVal)
     }
     emb.select(col("vec_id"), assignUdf(col("embedding")).as("a"))
       .select(col("vec_id"), col("a._1").as("topic"), col("a._2").as("dot"))
@@ -253,15 +268,17 @@ object Ann {
     // zip_with fold collapsed every bit to).
     val planes = Array.tabulate(bits, dim)((b, j) =>
       if ((mix64(b.toLong * 1000003L + j) & 1L) == 0L) 1.0d else -1.0d)
-    val f = udf { (v: Seq[Float]) =>
-      if (v == null || v.length != dim) 0L
+    val f = udf { (v: Seq[java.lang.Float]) =>
+      // null / mismatched / null-element input: every bit's null-padded
+      // fold went null, `when(null > 0)` fell to the 0L branch → sig 0
+      if (v == null || v.length != dim || v.exists(_ == null)) 0L
       else {
         var sig = 0L
         var b = 0
         while (b < bits) {
           val p = planes(b)
           var acc = 0.0; var j = 0
-          while (j < dim) { acc += v(j).toDouble * p(j); j += 1 }
+          while (j < dim) { acc += v(j).doubleValue * p(j); j += 1 }
           if (acc > 0) sig |= (1L << b)
           b += 1
         }

@@ -140,30 +140,42 @@ object Blocking {
     // Unbounded over-cap key sets (boilerplate corpora) fall back to the
     // windowed plan rather than collecting an unbounded broadcast.
     val sizes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_bn"))
-    val hot = sizes.where(col("_bn") > cap)
-    val stats = hot.select(col(keyCol), col("_bn").as("n_total"),
-      ceil(col("_bn").cast("double") / cap).cast("long").as("n_subblocks"))
-    val nHot = hot.limit(maxHotKeysBroadcast + 1).count()
-    val rekeyed =
-      if (nHot == 0L) df
-      else if (nHot <= maxHotKeysBroadcast) {
-        df.join(broadcast(hot.select(col(keyCol).as("_hk"), col("_bn"))),
+    val hotPlan = sizes.where(col("_bn") > cap)
+    // ONE eager job decides the branch AND captures the over-cap keys:
+    // re-aggregating the sizes for the broadcast build and again for the
+    // stats arm would re-run the (caller-materialized) scan twice more.
+    val hotRows = hotPlan.limit(maxHotKeysBroadcast + 1).collect()
+    val nHot = hotRows.length
+    if (nHot <= maxHotKeysBroadcast) {
+      val hotDf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), hotPlan.schema)
+      val stats = hotDf.select(col(keyCol), col("_bn").as("n_total"),
+        ceil(col("_bn").cast("double") / cap).cast("long").as("n_subblocks"))
+      val rekeyed =
+        if (nHot == 0) df
+        else df.join(
+            broadcast(hotDf.select(col(keyCol).as("_hk"), col("_bn"))),
             col(keyCol) <=> col("_hk"), "left")
           .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
           .withColumn(keyCol,
             when(col("_k").isNull || col("_k") <= 1, col(keyCol))
               .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
           .drop("_hk", "_bn", "_k")
-      } else {
-        val w = Window.partitionBy(col(keyCol))
-        df.withColumn("_bn", count(lit(1)).over(w))
-          .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
-          .withColumn(keyCol,
-            when(col("_k") <= 1, col(keyCol))
-              .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
-          .drop("_bn", "_k")
-      }
-    (rekeyed, stats)
+      (rekeyed, stats)
+    } else {
+      // unbounded over-cap key set: fall back to lazy lineage for both
+      // the windowed rekeying and the stats arm
+      val stats = hotPlan.select(col(keyCol), col("_bn").as("n_total"),
+        ceil(col("_bn").cast("double") / cap).cast("long").as("n_subblocks"))
+      val w = Window.partitionBy(col(keyCol))
+      val rekeyed = df.withColumn("_bn", count(lit(1)).over(w))
+        .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
+        .withColumn(keyCol,
+          when(col("_k") <= 1, col(keyCol))
+            .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
+        .drop("_bn", "_k")
+      (rekeyed, stats)
+    }
   }
 
   /** Candidate pairs from a blocked table: self-join within block key with

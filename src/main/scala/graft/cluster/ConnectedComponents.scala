@@ -39,19 +39,21 @@ object ConnectedComponents {
     *   checksum) fits under this bound, the closure is computed by a
     *   driver-side union-find over the collected edges instead of the
     *   O(log n) alternating-star rounds — the same size-adaptive
-    *   discipline as a broadcast join (the edge set is bounded like a
-    *   broadcast relation: 1M edges ≈ tens of MB transient). Near-dup CC
-    *   inputs are pair tables that are routinely orders of magnitude
-    *   smaller than the corpus, so this removes every per-round shuffle +
-    *   materialization in the common case while the distributed path runs
-    *   unchanged beyond the bound. Labeling is identical by construction
-    *   (min id per component; union always roots the smaller id, spec-
-    *   pinned against the distributed path). Set to 0 to force the
-    *   distributed path.
+    *   discipline as a broadcast join. Driver footprint at the default
+    *   500k-edge bound: primitive edge arrays + the parent map + the
+    *   result rows ≈ low hundred MB transient worst-case (comparable to
+    *   a mid-sized broadcast relation) — size the bound to the driver
+    *   heap, not just taste. Near-dup CC inputs are pair tables that are
+    *   routinely orders of magnitude smaller than the corpus, so this
+    *   removes every per-round shuffle + materialization in the common
+    *   case while the distributed path runs unchanged beyond the bound.
+    *   Labeling is identical by construction (min id per component;
+    *   union always roots the smaller id, spec-pinned against the
+    *   distributed path). Set to 0 to force the distributed path.
     * @return DataFrame(id LONG, component LONG), one row per distinct node. */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
       persist: DataFrame => DataFrame = _.localCheckpoint(),
-      driverUnionFindMaxEdges: Long = 1000000L): DataFrame = {
+      driverUnionFindMaxEdges: Long = 500000L): DataFrame = {
     import spark.implicits._
     val base = edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -160,7 +162,16 @@ object ConnectedComponents {
     * mirrors the distributed path (id/component LONG, nullable). */
   private def unionFindLocal(spark: SparkSession, edges: DataFrame)
       : DataFrame = {
-    val rows = edges.collect()
+    // primitive edge arrays (the collected Rows are released before the
+    // node pass) — the boxed-collection variant roughly tripled the
+    // transient driver footprint at the cutoff
+    var rows = edges.collect()
+    val n = rows.length
+    val us = new Array[Long](n)
+    val vs = new Array[Long](n)
+    var i = 0
+    while (i < n) { us(i) = rows(i).getLong(0); vs(i) = rows(i).getLong(1); i += 1 }
+    rows = null
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var root = x
@@ -171,18 +182,27 @@ object ConnectedComponents {
       }
       root
     }
-    rows.foreach { r =>
-      val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+    i = 0
+    while (i < n) {
+      val ra = find(us(i)); val rb = find(vs(i))
       if (ra != rb) {
         val lo = math.min(ra, rb); val hi = math.max(ra, rb)
         parent(hi) = lo
       }
+      i += 1
     }
-    val nodeIds = new java.util.TreeSet[java.lang.Long]()
-    rows.foreach { r => nodeIds.add(r.getLong(0)); nodeIds.add(r.getLong(1)) }
-    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodeIds.size)
-    nodeIds.forEach(id => out.add(
-      org.apache.spark.sql.Row(id.longValue, find(id.longValue))))
+    // distinct node ids via one primitive sort + in-place dedup
+    val ids = new Array[Long](2 * n)
+    System.arraycopy(us, 0, ids, 0, n)
+    System.arraycopy(vs, 0, ids, n, n)
+    java.util.Arrays.sort(ids)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    i = 0
+    while (i < ids.length) {
+      if (i == 0 || ids(i) != ids(i - 1))
+        out.add(org.apache.spark.sql.Row(ids(i), find(ids(i))))
+      i += 1
+    }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType),

@@ -90,8 +90,9 @@ object Dedup {
     * step, so document bodies never ride through the block shuffle.
     * Oversized bands are SPLIT (grouped by exact shingle fingerprint, so
     * exact-duplicate recall is preserved), never row-capped — no silent
-    * drops; the split stats table is returned alongside the pairs. */
-  /** @param persist materializer for the two frames more than one
+    * drops; the split stats table is returned alongside the pairs.
+    *
+    * @param persist materializer for the two frames more than one
     *   downstream arm consumes: the shingled base (verify joins on both
     *   pair sides) and the slim banded table (size aggregation + both
     *   candidate-join sides). Without it, the tokenize/shingle chain and

@@ -40,8 +40,7 @@ object PageRank {
     *              the residual, plenty for crawl ordering).
     * @param persist per-round state materializer — MUST be eager, same
     *              contract as ConnectedComponents.run.
-    * @return (id LONG, rank_fp LONG) — rank in 1e-12 units. */
-  /** @param persistEvery materialize the rank table every k-th round
+    * @param persistEvery materialize the rank table every k-th round
     *   (plus always the last). A per-round persist spends a
     *   materialization job and storage round-trip per iteration only to
     *   keep lineage O(1); a batched cadence keeps lineage bounded at
@@ -49,7 +48,8 @@ object PageRank {
     *   materialization count — the driver-serial persist bookkeeping is
     *   Amdahl overhead at any scale. Fault-tolerance granularity drops to
     *   persistEvery rounds of replay, the usual iterative-graph
-    *   checkpoint-interval tradeoff. */
+    *   checkpoint-interval tradeoff.
+    * @return (id LONG, rank_fp LONG) — rank in 1e-12 units. */
   def run(spark: SparkSession, edges: DataFrame, iters: Int = 10,
       persist: DataFrame => DataFrame = _.localCheckpoint(),
       persistEvery: Int = 5): DataFrame = {
