@@ -65,4 +65,64 @@ class BlockingSpec extends SparkSuite {
     assert(kept.count() === 100L)
     assert(drops.count() === 0L)
   }
+
+  /** The old count-over-window formulation, verbatim — the reference the
+    * broadcast hot-key path must reproduce row-for-row. */
+  private def windowedSplit(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, groupCol: String, cap: Int) = {
+    val w = Window.partitionBy(col(keyCol))
+    df.withColumn("_bn", count(lit(1)).over(w))
+      .withColumn("_k", ceil(col("_bn").cast("double") / cap).cast("long"))
+      .withColumn(keyCol,
+        when(col("_k") <= 1, col(keyCol))
+          .otherwise(xxhash64(col(keyCol), pmod(col(groupCol), col("_k")))))
+      .drop("_bn", "_k")
+  }
+
+  // splitOversizedBlocks fixture: long keys (the production shape — band
+  // hashes), one very hot key, one mildly hot, a NULL key over cap, and
+  // a cold tail; fp is the sub-block group column
+  private def splitFixture() = (
+    (0 until 900).map(i => (Some(7L), i.toLong % 13)) ++
+    (0 until 120).map(i => (Some(8L), i.toLong % 5)) ++
+    (0 until 80).map(i => (None: Option[Long], i.toLong % 3)) ++
+    (0 until 400).map(i => (Some(1000L + i % 50), i.toLong))
+  ).toDF("block_key", "fp")
+
+  test("splitOversizedBlocks broadcast path == windowed twin (incl. null hot key)") {
+    val df = splitFixture()
+    val (split, stats) = Blocking.splitOversizedBlocks(df, "block_key", "fp",
+      cap = 64)
+    val expected = windowedSplit(df, "block_key", "fp", cap = 64)
+    assert(split.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(split).count() === 0L)
+    // stats: one row per over-cap key with exact sizes (7 -> 900 rows /
+    // 15 sub-blocks, 8 -> 120 / 2, null -> 80 / 2)
+    val st = stats.collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(st === Set((Some(7L), 900L, 15L), (Some(8L), 120L, 2L),
+      (None, 80L, 2L)))
+  }
+
+  test("splitOversizedBlocks over the broadcast bound falls back, same rows") {
+    val df = splitFixture()
+    val (split, stats) = Blocking.splitOversizedBlocks(df, "block_key", "fp",
+      cap = 64, maxHotKeysBroadcast = 1) // 3 hot keys > bound -> window
+    val (splitB, statsB) = Blocking.splitOversizedBlocks(df, "block_key",
+      "fp", cap = 64)
+    assert(split.exceptAll(splitB).count() === 0L)
+    assert(splitB.exceptAll(split).count() === 0L)
+    assert(stats.collect().map(_.toSeq).toSet ===
+      statsB.collect().map(_.toSeq).toSet)
+  }
+
+  test("splitOversizedBlocks with no oversized block passes rows through untouched") {
+    val df = (0 until 200).map(i => (i.toLong % 40, i.toLong)).toDF("block_key", "fp")
+    val (split, stats) = Blocking.splitOversizedBlocks(df, "block_key", "fp",
+      cap = 50)
+    assert(split.exceptAll(df).count() === 0L)
+    assert(df.exceptAll(split).count() === 0L)
+    assert(stats.count() === 0L)
+  }
 }
